@@ -1,0 +1,168 @@
+"""ZOOPS EM refinement — the hot loop.
+
+TPU-native equivalent of ``src/refinement/EM.{h,cpp}`` (``EM::optimize``,
+``EStep``, ``MStep``, ``optimizeQ``).  One EM iteration is ONE jitted XLA
+program over device-resident tensors:
+
+    E: rebuild the [R+1, W] log-odds LUT (cheap), gather+sum window scores,
+       ZOOPS-normalize responsibilities (ops.escore)
+    M: scatter responsibilities into combined count rows, marginalize to
+       per-order counts, apply the interpolated pseudo-count estimator
+       (models.motif.update_v), optionally update q
+
+Only two scalars (log-likelihood, |delta v_K|) return to the host per
+iteration; the convergence check |delta v| < epsilon with a
+--maxEMIterations cap matches the reference's loop.  Multi-chip: see
+``bammmotif2_tpu.parallel`` — the same step with the sequence axis sharded
+over the mesh; XLA inserts the single psum for the count merge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bammmotif2_tpu.models import motif as motif_mod
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.models.motif import Motif
+from bammmotif2_tpu.ops import encode, escore
+from bammmotif2_tpu.utils.config import Params
+from bammmotif2_tpu.utils.fasta import SequenceSet
+
+
+@dataclasses.dataclass
+class EMResult:
+    iterations: int
+    ll: float
+    q: float
+    v_diff: float
+    converged: bool
+    ll_history: list
+    seconds: float
+    windows_scored: int  # total windows scored across all iterations
+
+    @property
+    def windows_per_sec(self) -> float:
+        return self.windows_scored / self.seconds if self.seconds > 0 else 0.0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("A", "K", "W", "optimize_q", "use_pallas")
+)
+def em_step(
+    v: tuple,
+    q: jnp.ndarray,
+    cidx: jnp.ndarray,
+    lens: jnp.ndarray,
+    bg_flat: jnp.ndarray,
+    alphas: jnp.ndarray,
+    f_bg: jnp.ndarray,
+    *,
+    A: int,
+    K: int,
+    W: int,
+    optimize_q: bool,
+    use_pallas: bool = False,
+):
+    """One fused EM iteration. Returns (v_new, q_new, ll, v_diff)."""
+    R = encode.num_rows(A, K)
+    s_flat = motif_mod.log_odds_lut(v, bg_flat)
+    if use_pallas:
+        from bammmotif2_tpu.ops import pallas_em
+
+        C, ll = pallas_em.em_counts(s_flat, cidx, lens, q, W, R)
+    else:
+        scores, mask = escore.window_scores(s_flat, cidx, lens, W)
+        r, _r0, ll = escore.zoops_posterior(scores, mask, q)
+        C = escore.mstep_counts(r, cidx, R, W)
+    counts = motif_mod.counts_from_combined(C[:R], A, K)
+    v_new = motif_mod.update_v(counts, alphas, f_bg)
+    if optimize_q:
+        # q = (sum_n sum_i r_{n,i}) / N  (EM::optimizeQ).  Every window
+        # deposits exactly one count at motif position 0 (possibly in the
+        # sentinel row if that base is ambiguous), so column 0 of the full
+        # combined count tensor is the total occurrence responsibility.
+        total_r = C.sum(axis=0)[0]
+        q_new = jnp.clip(total_r / lens.shape[0], 1e-4, 1.0 - 1e-4)
+    else:
+        q_new = q
+    # parameter-change convergence statistic: L1 change over all orders
+    v_diff = sum(jnp.abs(vn - vo).sum() for vn, vo in zip(v_new, v))
+    return v_new, q_new, ll, v_diff
+
+
+def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool):
+    """One-time device tensorization for EM/scanning."""
+    cidx, lens = encode.strand_indices(sset, K, ss)
+    bg_flat = jnp.asarray(bg.conditional_flat(K), jnp.float32)
+    return cidx, lens, bg_flat
+
+
+def run_em(
+    motif: Motif,
+    bg: BackgroundModel,
+    sset: SequenceSet,
+    params: Params | None = None,
+    data=None,
+    verbose: bool | None = None,
+) -> EMResult:
+    """Refine ``motif`` in place with ZOOPS EM (``EM::optimize``)."""
+    params = params or Params(EM=True)
+    verbose = params.verbose if verbose is None else verbose
+    A, K, W = motif.A, motif.K, motif.W
+    if data is None:
+        data = prepare_data(sset, bg, K, params.ss)
+    cidx, lens, bg_flat = data
+
+    v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
+    q = jnp.asarray(params.q, jnp.float32)
+    alphas = jnp.asarray(motif.alphas, jnp.float32)
+    f_bg = jnp.asarray(motif.f_bg, jnp.float32)
+
+    n_win = int(cidx.shape[0]) * int(np.maximum(np.asarray(lens) - W + 1, 0).sum())
+    ll_hist: list = []
+    t0 = time.perf_counter()
+    it, ll, v_diff = 0, float("-inf"), float("inf")
+    converged = False
+    for it in range(1, params.maxEMIterations + 1):
+        v, q, ll_dev, vd_dev = em_step(
+            v, q, cidx, lens, bg_flat, alphas, f_bg,
+            A=A, K=K, W=W, optimize_q=params.optimizeQ,
+            use_pallas=params.use_pallas and _pallas_available(),
+        )
+        ll, v_diff = float(ll_dev), float(vd_dev)
+        ll_hist.append(ll)
+        if verbose:
+            print(f"  EM iter {it:4d}  ll={ll:.4f}  dv={v_diff:.3e}  q={float(q):.4f}")
+        if v_diff < params.epsilon:
+            converged = True
+            break
+    seconds = time.perf_counter() - t0
+
+    motif.v = [np.asarray(vk, np.float64) for vk in v]
+    return EMResult(
+        iterations=it,
+        ll=ll,
+        q=float(q),
+        v_diff=v_diff,
+        converged=converged,
+        ll_history=ll_hist,
+        seconds=seconds,
+        windows_scored=n_win * it,
+    )
+
+
+def _pallas_available() -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        from bammmotif2_tpu.ops import pallas_em  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

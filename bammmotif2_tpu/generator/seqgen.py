@@ -1,0 +1,129 @@
+"""Artificial sequence generation with on-device PRNG.
+
+TPU-native equivalent of ``src/seq_generator/SeqGenerator.{h,cpp}``:
+negatives for FDR / p-value calibration are sampled from a homogeneous
+Markov model of order ``--sOrder`` (default 2) fit to the positive set, at
+``--mFold`` times the positive count; motif-embedded sets support
+benchmarking.  The reference uses C++ host RNG sequence-by-sequence; here
+all sequences sample in parallel with ``jax.random`` counter-based keys
+(``fold_in`` per sequence), so results are reproducible and shardable but
+deliberately NOT bit-compatible with the C++ RNG (SURVEY.md 2.1: sampled
+paths are compared distributionally; deterministic paths carry the
+bit-compat tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.models.motif import Motif
+from bammmotif2_tpu.utils.fasta import PAD, SequenceSet
+
+
+@functools.partial(jax.jit, static_argnames=("L", "s_order", "A"))
+def _sample_markov_batch(key, trans: tuple, lens: jnp.ndarray, *, L: int, s_order: int, A: int):
+    """Sample [N, L] code arrays from a homogeneous Markov chain.
+
+    trans[m]: [A^(m+1)] conditional probs (flat, lexicographic) for order m.
+    The first s_order positions use the lower-order conditionals; the rest
+    scan with the order-s transition table.
+    """
+    N = lens.shape[0]
+    keys = jax.random.split(key, L)
+
+    logits = tuple(jnp.log(t.reshape(-1, A)) for t in trans)  # [A^m, A] rows
+
+    # first s_order positions: unrolled, growing context
+    cols = []
+    ctx = jnp.zeros((N,), jnp.int32)  # context code at current order
+    for t in range(min(s_order, L)):
+        lg = logits[t][ctx]  # [N, A]
+        c = jax.random.categorical(keys[t], lg, axis=-1).astype(jnp.int32)
+        cols.append(c)
+        ctx = ctx * A + c  # grow context (order t+1 code)
+
+    if L > s_order:
+
+        def step(ctx, key_t):
+            lg = logits[s_order][ctx]
+            c = jax.random.categorical(key_t, lg, axis=-1).astype(jnp.int32)
+            if s_order > 0:
+                ctx = (ctx % (A ** (s_order - 1))) * A + c  # drop oldest base
+            return ctx, c
+
+        _, rest = jax.lax.scan(step, ctx, keys[s_order:])  # rest: [L-s, N]
+        first = (
+            jnp.stack(cols, axis=1) if cols else jnp.zeros((N, 0), jnp.int32)
+        )
+        codes = jnp.concatenate([first, rest.T], axis=1)
+    else:
+        codes = jnp.stack(cols, axis=1)
+
+    t_idx = jnp.arange(L)[None, :]
+    return jnp.where(t_idx < lens[:, None], codes.astype(jnp.int8), jnp.int8(PAD))
+
+
+def generate_neg_set(
+    bg_fit: BackgroundModel,
+    lens: np.ndarray,
+    m_fold: int = 1,
+    seed: int = 42,
+    name_prefix: str = "neg",
+) -> SequenceSet:
+    """Sample a negative set: lengths = positive lengths repeated m_fold
+    times, bases from the order-sOrder model fit to the positives.
+
+    Parity: ``SeqGenerator::generateNegSeqSet`` (mFold x |pos| sequences).
+    """
+    A = bg_fit.alphabet.size
+    s_order = bg_fit.order
+    lens_rep = np.tile(np.asarray(lens, np.int32), m_fold)
+    L = int(lens_rep.max())
+    key = jax.random.PRNGKey(seed)
+    trans = tuple(jnp.asarray(v, jnp.float32) for v in bg_fit.v)
+    codes = np.asarray(
+        _sample_markov_batch(key, trans, jnp.asarray(lens_rep), L=L, s_order=s_order, A=A)
+    )
+    headers = [f"{name_prefix}_{i + 1}" for i in range(len(lens_rep))]
+    return SequenceSet(codes=codes, lens=lens_rep, headers=headers, alphabet=bg_fit.alphabet)
+
+
+def sample_motif_sites(motif: Motif, n: int, seed: int = 0) -> np.ndarray:
+    """Sample n site code arrays [n, W] from the motif's highest-order chain
+    (for embedded-benchmark sets — ``SeqGenerator::sample_seqset_with_motif``)."""
+    A, K, W = motif.A, motif.K, motif.W
+    key = jax.random.PRNGKey(seed)
+    out = np.zeros((n, W), np.int8)
+    ctx = np.zeros(n, np.int64)  # k-mer context code
+    rng_keys = jax.random.split(key, W)
+    for j in range(W):
+        k_eff = min(j, K)
+        vk = motif.v[k_eff][:, j].reshape(-1, A)  # [A^k_eff, A]
+        probs = vk[ctx % (A ** k_eff)] if k_eff else np.broadcast_to(vk[0], (n, A))
+        c = np.asarray(
+            jax.random.categorical(rng_keys[j], jnp.log(jnp.asarray(probs)), axis=-1)
+        )
+        out[:, j] = c
+        ctx = ctx * A + c
+    return out
+
+
+def embed_motif(
+    sset: SequenceSet, motif: Motif, q: float = 1.0, seed: int = 1
+) -> SequenceSet:
+    """Implant one sampled motif site at a uniform position in a fraction q
+    of the sequences (benchmark-set construction)."""
+    rng = np.random.default_rng(seed)
+    codes = sset.codes.copy()
+    sites = sample_motif_sites(motif, sset.n, seed=seed)
+    W = motif.W
+    for i in range(sset.n):
+        if sset.lens[i] >= W and rng.random() < q:
+            pos = rng.integers(0, sset.lens[i] - W + 1)
+            codes[i, pos : pos + W] = sites[i]
+    return SequenceSet(codes=codes, lens=sset.lens.copy(), headers=list(sset.headers), alphabet=sset.alphabet)

@@ -1,0 +1,180 @@
+"""Occurrence scanning: log-odds scores, empirical p-values, .occurrence.
+
+TPU-native equivalent of ``src/seq_scoring/ScoreSeqSet.{h,cpp}``
+(``calcLogOdds``, ``calcPvalues``, ``write``): reuses the EM window-score
+op against the combined LUT, computes empirical p-values by rank against a
+sorted negative-score distribution (vectorized searchsorted instead of the
+reference's per-score scan), and writes occurrence rows above the p-value
+cutoff.
+
+p-value convention (SURVEY.md 2.9): for a score s against M sorted negative
+scores, p(s) = (#neg >= s + 1) / (M + 1), with linear interpolation between
+adjacent negative scores; e-value = p * (#windows scanned in the dataset).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.models.motif import Motif, log_odds_lut
+from bammmotif2_tpu.ops import encode, escore
+from bammmotif2_tpu.utils.fasta import SequenceSet
+
+
+@dataclasses.dataclass
+class ScanResult:
+    scores: np.ndarray      # [S, N, n_win] log-odds (NEG_INF invalid)
+    mask: np.ndarray        # [N, n_win]
+    max_scores: np.ndarray  # [N] best window per sequence (ZOOPS statistic)
+    n_windows: int          # total valid windows scanned
+    W: int
+
+    def all_window_scores(self) -> np.ndarray:
+        """Valid per-window scores pooled over strands (MOPS statistic)."""
+        m = np.broadcast_to(self.mask[None], self.scores.shape)
+        return self.scores[m]
+
+
+def score_set(
+    motif: Motif,
+    bg: BackgroundModel,
+    sset: SequenceSet,
+    ss: bool = False,
+    batch: int = 4096,
+) -> ScanResult:
+    """Log-odds-score every window of every sequence (ScoreSeqSet::calcLogOdds).
+
+    Sequences are processed in batches of ``batch`` so genome-scale sets
+    (BASELINE config 5: 100k sequences) stream through HBM.
+    """
+    K, W = motif.K, motif.W
+    s_flat = log_odds_lut(
+        tuple(jnp.asarray(v, jnp.float32) for v in motif.v),
+        jnp.asarray(bg.conditional_flat(K), jnp.float32),
+    )
+    chunks, mask_chunks = [], []
+    for start in range(0, sset.n, batch):
+        sub = sset.subset(np.arange(start, min(start + batch, sset.n)))
+        cidx, lens = encode.strand_indices(sub, K, ss)
+        sc, m = escore.window_scores(s_flat, cidx, lens, W)
+        chunks.append(np.asarray(sc))
+        mask_chunks.append(np.asarray(m))
+    n_win_max = max(c.shape[2] for c in chunks)
+    S = chunks[0].shape[0]
+    scores = np.full((S, sset.n, n_win_max), escore.NEG_INF, np.float32)
+    mask = np.zeros((sset.n, n_win_max), bool)
+    row = 0
+    for sc, m in zip(chunks, mask_chunks):
+        scores[:, row : row + sc.shape[1], : sc.shape[2]] = sc
+        mask[row : row + m.shape[0], : m.shape[1]] = m
+        row += sc.shape[1]
+    max_scores = scores.max(axis=(0, 2))
+    return ScanResult(
+        scores=scores,
+        mask=mask,
+        max_scores=max_scores,
+        n_windows=int(mask.sum()) * S,
+        W=W,
+    )
+
+
+def empirical_pvalues(scores: np.ndarray, neg_scores: np.ndarray) -> np.ndarray:
+    """Empirical p-values by rank against a negative score sample.
+
+    Parity: ``ScoreSeqSet::calcPvalues``.  With Sn = sorted negative scores
+    (ascending, size M): p(s) = (M - rank_hi(s) + 1) / (M + 1) where
+    rank_hi = #neg < s, linearly interpolated between neighboring negative
+    scores so ties don't quantize small p-values.
+    """
+    neg = np.sort(np.asarray(neg_scores, np.float64))
+    M = neg.size
+    if M == 0:
+        return np.full(np.shape(scores), 1.0)
+    s = np.asarray(scores, np.float64)
+    lo = np.searchsorted(neg, s, side="left")    # #neg strictly below s
+    hi = np.searchsorted(neg, s, side="right")   # #neg <= s
+    # interpolate within the tie block / between neighbors
+    frac = np.where(hi > lo, 0.5 * (lo + hi), lo).astype(np.float64)
+    p = (M - frac + 1.0) / (M + 1.0)
+    return np.clip(p, 1.0 / (M + 1.0), 1.0)
+
+
+@dataclasses.dataclass
+class Occurrence:
+    seq_idx: int
+    header: str
+    length: int
+    strand: str       # '+' or '-'
+    start: int        # 0-based inclusive, forward-strand coordinates
+    end: int          # 0-based exclusive
+    site: str
+    score: float
+    pvalue: float
+    evalue: float
+
+
+def find_occurrences(
+    scan: ScanResult,
+    sset: SequenceSet,
+    neg_scores: np.ndarray,
+    pval_cutoff: float = 1e-4,
+) -> list:
+    """Windows with p-value below the cutoff, as occurrence records.
+
+    Reverse-strand windows are reported in forward coordinates
+    (start = len - W - i for rc-window start i), matching the reference's
+    convention of scanning the appended reverse complement.
+    """
+    S, N, n_win = scan.scores.shape
+    W = scan.W
+    pv = empirical_pvalues(scan.scores, neg_scores)
+    occs: list = []
+    valid = np.broadcast_to(scan.mask[None], scan.scores.shape)
+    hits = np.argwhere(valid & (pv <= pval_cutoff))
+    for s, n, i in hits:
+        L = int(sset.lens[n])
+        if s == 0:
+            start, strand = int(i), "+"
+            site = sset.alphabet.decode(sset.codes[n, start : start + W])
+        else:
+            start, strand = L - W - int(i), "-"
+            site = sset.alphabet.decode(
+                sset.alphabet.revcomp(sset.codes[n, start : start + W])
+            )
+        occs.append(
+            Occurrence(
+                seq_idx=int(n),
+                header=sset.headers[n],
+                length=L,
+                strand=strand,
+                start=start,
+                end=start + W,
+                site=site,
+                score=float(scan.scores[s, n, i]),
+                pvalue=float(pv[s, n, i]),
+                evalue=float(pv[s, n, i] * scan.n_windows),
+            )
+        )
+    occs.sort(key=lambda o: (o.seq_idx, o.start, o.strand))
+    return occs
+
+
+def write_occurrences(path: str | os.PathLike, occs: list) -> None:
+    """TSV occurrence rows (ScoreSeqSet::write → <basename>.occurrence).
+
+    Columns: seq header, seq length, strand, start..end (1-based inclusive,
+    as in the reference output), site string, log-odds score, p-value,
+    e-value.
+    """
+    with open(path, "w") as fh:
+        fh.write("header\tlength\tstrand\tstart..end\tsite\tscore\tp-value\te-value\n")
+        for o in occs:
+            fh.write(
+                f"{o.header}\t{o.length}\t{o.strand}\t{o.start + 1}..{o.end}\t"
+                f"{o.site}\t{o.score:.6g}\t{o.pvalue:.4e}\t{o.evalue:.4e}\n"
+            )

@@ -1,0 +1,174 @@
+"""Tests for scanning, p-values, sequence generation, and FDR evaluation."""
+
+import numpy as np
+import pytest
+
+from bammmotif2_tpu.evaluation import prcurve
+from bammmotif2_tpu.evaluation.fdr import evaluate_motif
+from bammmotif2_tpu.generator import seqgen
+from bammmotif2_tpu.models import seeds as seeds_mod
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.scoring import scan
+from bammmotif2_tpu.utils.config import Params
+from bammmotif2_tpu.utils.fasta import SequenceSet
+
+from tests.test_em import planted_set
+
+MOTIF = "TGACTCAG"
+
+
+@pytest.fixture(scope="module")
+def trained():
+    sset = planted_set(n=200, l=80, motif=MOTIF, q=0.9, noise=0.05)
+    bg = BackgroundModel.from_sequence_set(sset, order=2)
+    m = seeds_mod.motif_from_pwm(
+        seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2, f_bg=sset.base_frequencies()
+    )
+    from bammmotif2_tpu.refinement.em import run_em
+
+    run_em(m, bg, sset, Params(EM=True, q=0.5, use_pallas=False))
+    return sset, bg, m
+
+
+class TestEmpiricalPvalues:
+    def test_ranks(self):
+        neg = np.arange(100, dtype=float)  # 0..99
+        p = scan.empirical_pvalues(np.array([99.5, 49.5, -1.0]), neg)
+        assert p[0] == pytest.approx(1 / 101, rel=1e-6)
+        assert p[1] == pytest.approx(51 / 101, rel=0.02)
+        assert p[2] == pytest.approx(1.0)
+        # monotone: higher score -> smaller p
+        s = np.linspace(-5, 105, 50)
+        ps = scan.empirical_pvalues(s, neg)
+        assert np.all(np.diff(ps) <= 1e-12)
+
+    def test_empty_negatives(self):
+        p = scan.empirical_pvalues(np.array([1.0]), np.array([]))
+        assert p[0] == 1.0
+
+
+class TestScan:
+    def test_planted_sites_found(self, trained):
+        sset, bg, m = trained
+        res = scan.score_set(m, bg, sset)
+        assert res.scores.shape[0] == 2  # both strands
+        # negatives for p-value calibration
+        bg_fit = BackgroundModel.from_sequence_set(sset, order=2)
+        neg = seqgen.generate_neg_set(bg_fit, sset.lens, m_fold=2, seed=7)
+        neg_res = scan.score_set(m, bg, neg)
+        occs = scan.find_occurrences(res, sset, neg_res.max_scores, pval_cutoff=0.01)
+        # most sequences contain the motif; expect at least half hit
+        hit_seqs = {o.seq_idx for o in occs}
+        assert len(hit_seqs) > sset.n * 0.5
+        # occurrence sites should mostly spell the planted motif
+        sites = [o.site for o in occs]
+        frac = np.mean([s == MOTIF for s in sites])
+        assert frac > 0.5
+
+    def test_revcomp_occurrence_coordinates(self, trained):
+        _, bg, m = trained
+        import bammmotif2_tpu.utils.fasta as fasta
+
+        # place the motif's reverse complement on the forward strand
+        rc = m.alphabet.decode(m.alphabet.revcomp(m.alphabet.encode(MOTIF)))
+        s = "ACGTACGTACGT" + rc + "ACGTACGTACGT"
+        sset1 = fasta.SequenceSet.from_sequences([s])
+        res = scan.score_set(m, bg, sset1)
+        occs = scan.find_occurrences(res, sset1, np.random.normal(-20, 1, 500), 0.01)
+        assert any(o.strand == "-" and o.start == 12 and o.site == MOTIF for o in occs)
+
+    def test_write_occurrences(self, trained, tmp_path):
+        sset, bg, m = trained
+        res = scan.score_set(m, bg, sset)
+        occs = scan.find_occurrences(res, sset, np.random.normal(-20, 1, 500), 1e-3)
+        path = tmp_path / "out.occurrence"
+        scan.write_occurrences(path, occs)
+        lines = path.read_text().splitlines()
+        assert lines[0].startswith("header\t")
+        assert len(lines) == len(occs) + 1
+
+    def test_batched_scan_matches_unbatched(self, trained):
+        sset, bg, m = trained
+        full = scan.score_set(m, bg, sset, batch=4096)
+        small = scan.score_set(m, bg, sset, batch=17)
+        np.testing.assert_allclose(full.max_scores, small.max_scores, rtol=1e-5)
+
+
+class TestSeqGen:
+    def test_lengths_and_alphabet(self):
+        sset = planted_set(n=50, l=60)
+        bg_fit = BackgroundModel.from_sequence_set(sset, order=2)
+        neg = seqgen.generate_neg_set(bg_fit, sset.lens, m_fold=3, seed=1)
+        assert neg.n == 150
+        np.testing.assert_array_equal(neg.lens, np.tile(sset.lens, 3))
+        valid = neg.codes[neg.codes != -2]
+        assert valid.min() >= 0 and valid.max() <= 3
+
+    def test_matches_background_distribution(self):
+        # skewed background should be reproduced in the sample
+        rng = np.random.default_rng(0)
+        seqs = ["".join(rng.choice(list("ACGT"), p=[0.4, 0.1, 0.1, 0.4], size=200)) for _ in range(50)]
+        sset = SequenceSet.from_sequences(seqs)
+        bg_fit = BackgroundModel.from_sequence_set(sset, order=0, ss=True)
+        neg = seqgen.generate_neg_set(bg_fit, sset.lens, m_fold=1, seed=2)
+        np.testing.assert_allclose(
+            neg.base_frequencies(), sset.base_frequencies(), atol=0.02
+        )
+
+    def test_order2_dinucleotide_structure(self):
+        # build a strongly correlated source: alternating-ish AC repeats
+        seqs = ["ACACACACAC" * 10 for _ in range(20)]
+        sset = SequenceSet.from_sequences(seqs)
+        bg_fit = BackgroundModel.from_sequence_set(sset, order=1, ss=True)
+        neg = seqgen.generate_neg_set(bg_fit, sset.lens, m_fold=1, seed=3)
+        # after an A, a C should follow nearly always
+        codes = neg.codes
+        a_pos = codes[:, :-1] == 0
+        c_next = codes[:, 1:] == 1
+        frac = (a_pos & c_next).sum() / max(a_pos.sum(), 1)
+        assert frac > 0.9
+
+    def test_embed_motif(self, trained):
+        sset, bg, m = trained
+        bg_fit = BackgroundModel.from_sequence_set(sset, order=2)
+        neg = seqgen.generate_neg_set(bg_fit, sset.lens, m_fold=1, seed=4)
+        emb = seqgen.embed_motif(neg, m, q=1.0, seed=5)
+        res = scan.score_set(m, bg, emb)
+        res_neg = scan.score_set(m, bg, neg)
+        assert res.max_scores.mean() > res_neg.max_scores.mean() + 2.0
+
+
+class TestPRCurve:
+    def test_perfect_separation(self):
+        sweep = prcurve.threshold_sweep(
+            pos=np.full(10, 5.0), neg=np.zeros(100), m_fold=10
+        )
+        # at the threshold catching all positives, FP=0 -> precision 1
+        k = np.searchsorted(-sweep["score"], -5.0, side="right") - 1
+        assert sweep["precision"][k] == pytest.approx(1.0)
+        assert sweep["recall"][k] == pytest.approx(1.0)
+        assert prcurve.average_recall(sweep) == pytest.approx(1.0)
+
+    def test_random_scores_low_avrec(self):
+        rng = np.random.default_rng(0)
+        sweep = prcurve.threshold_sweep(rng.normal(size=100), rng.normal(size=1000), 10)
+        assert prcurve.average_recall(sweep) < 0.6
+
+
+class TestFDR:
+    def test_end_to_end(self, trained, tmp_path):
+        sset, bg, m = trained
+        seed = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2, f_bg=sset.base_frequencies()
+        )
+        params = Params(
+            FDR=True, cvFold=3, mFold=2, q=0.5, maxEMIterations=20, use_pallas=False
+        )
+        res = evaluate_motif(seed, bg, sset, params)
+        # a strongly planted motif must separate well
+        assert prcurve.average_recall(res.zoops) > 0.6
+        # p-values of true positives skew small
+        assert np.median(res.pos_pvalues) < 0.2
+        paths = res.write(str(tmp_path), "motif_1")
+        for p in paths:
+            assert len(open(p).readlines()) > 1

@@ -62,6 +62,7 @@ def em_step(
     bg_flat: jnp.ndarray,
     alphas: jnp.ndarray,
     f_bg: jnp.ndarray,
+    n_real: jnp.ndarray | None = None,
     *,
     A: int,
     K: int,
@@ -69,7 +70,14 @@ def em_step(
     optimize_q: bool,
     use_pallas: bool = False,
 ):
-    """One fused EM iteration. Returns (v_new, q_new, ll, v_diff)."""
+    """One fused EM iteration. Returns (v_new, q_new, ll, v_diff).
+
+    ``n_real``: true (unpadded) sequence count; when the data was padded to
+    a shardable multiple (parallel.mesh.shard_data), the zero-length pad
+    sequences each contribute exactly log(1-q) to the ZOOPS likelihood and
+    1 to the q denominator — both are corrected here so sharded and
+    unsharded runs agree bitwise-in-math.
+    """
     R = encode.num_rows(A, K)
     s_flat = motif_mod.log_odds_lut(v, bg_flat)
     if use_pallas:
@@ -88,9 +96,12 @@ def em_step(
         # sentinel row if that base is ambiguous), so column 0 of the full
         # combined count tensor is the total occurrence responsibility.
         total_r = C.sum(axis=0)[0]
-        q_new = jnp.clip(total_r / lens.shape[0], 1e-4, 1.0 - 1e-4)
+        denom = lens.shape[0] if n_real is None else n_real
+        q_new = jnp.clip(total_r / denom, 1e-4, 1.0 - 1e-4)
     else:
         q_new = q
+    if n_real is not None:
+        ll = ll - (lens.shape[0] - n_real) * jnp.log1p(-q)
     # parameter-change convergence statistic: L1 change over all orders
     v_diff = sum(jnp.abs(vn - vo).sum() for vn, vo in zip(v_new, v))
     return v_new, q_new, ll, v_diff
@@ -110,8 +121,14 @@ def run_em(
     params: Params | None = None,
     data=None,
     verbose: bool | None = None,
+    mesh=None,
 ) -> EMResult:
-    """Refine ``motif`` in place with ZOOPS EM (``EM::optimize``)."""
+    """Refine ``motif`` in place with ZOOPS EM (``EM::optimize``).
+
+    With ``mesh`` (jax.sharding.Mesh with a 'data' axis): sequences shard
+    over the data axis, the model replicates, and GSPMD inserts the one
+    count all-reduce per iteration — the multi-chip/multi-host path.
+    """
     params = params or Params(EM=True)
     verbose = params.verbose if verbose is None else verbose
     A, K, W = motif.A, motif.K, motif.W
@@ -119,12 +136,23 @@ def run_em(
         data = prepare_data(sset, bg, K, params.ss)
     cidx, lens, bg_flat = data
 
+    n_real = int(lens.shape[0])
+    n_win = int(cidx.shape[0]) * int(np.maximum(np.asarray(lens) - W + 1, 0).sum())
+    if mesh is not None:
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
+
+        cidx, lens = mesh_mod.shard_data(mesh, cidx, lens, encode.num_rows(A, K))
+
     v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
     q = jnp.asarray(params.q, jnp.float32)
     alphas = jnp.asarray(motif.alphas, jnp.float32)
     f_bg = jnp.asarray(motif.f_bg, jnp.float32)
+    if mesh is not None:
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
 
-    n_win = int(cidx.shape[0]) * int(np.maximum(np.asarray(lens) - W + 1, 0).sum())
+        v, q, alphas, f_bg, bg_flat = mesh_mod.replicate(
+            mesh, (v, q, alphas, f_bg, bg_flat)
+        )
     ll_hist: list = []
     t0 = time.perf_counter()
     it, ll, v_diff = 0, float("-inf"), float("inf")
@@ -132,6 +160,7 @@ def run_em(
     for it in range(1, params.maxEMIterations + 1):
         v, q, ll_dev, vd_dev = em_step(
             v, q, cidx, lens, bg_flat, alphas, f_bg,
+            jnp.asarray(n_real, jnp.float32),
             A=A, K=K, W=W, optimize_q=params.optimizeQ,
             use_pallas=params.use_pallas and _pallas_available(),
         )

@@ -1,0 +1,123 @@
+"""Multi-seed refinement: vmap over the seed axis.
+
+TPU-native equivalent of the reference driver's
+``#pragma omp parallel for`` over the MotifSet (SURVEY.md 3.1): instead of
+threads, all seeds of equal (W, K) refine in ONE batched XLA program —
+model tensors gain a leading seed axis via jax.vmap, the sequence tensors
+broadcast.  On a ('data', 'seed') mesh the seed axis shards over its own
+mesh axis while sequences shard over 'data' (2-D parallelism).
+
+Seeds with differing widths are grouped by (W, K) and each group runs
+batched; the host loop iterates until every member converges (finished
+members keep iterating on converged state — idempotent — which keeps the
+program shape static).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.refinement.em import EMResult, em_step, prepare_data
+from bammmotif2_tpu.ops import encode
+from bammmotif2_tpu.utils.config import Params
+from bammmotif2_tpu.utils.fasta import SequenceSet
+
+
+def run_em_multi(
+    motifs: list,
+    bg: BackgroundModel,
+    sset: SequenceSet,
+    params: Params | None = None,
+    mesh=None,
+) -> list:
+    """Batched EM over a MotifSet; refines every motif in place.
+
+    Returns a list of EMResult aligned with ``motifs``.
+    """
+    params = params or Params(EM=True)
+    results: list = [None] * len(motifs)
+
+    groups: dict = {}
+    for i, m in enumerate(motifs):
+        groups.setdefault((m.W, m.K), []).append(i)
+
+    for (W, K), idxs in groups.items():
+        group = [motifs[i] for i in idxs]
+        A = group[0].A
+        data = prepare_data(sset, bg, K, params.ss)
+        cidx, lens, bg_flat = data
+        n_real = int(lens.shape[0])
+        if mesh is not None:
+            from bammmotif2_tpu.parallel import mesh as mesh_mod
+
+            cidx, lens = mesh_mod.shard_data(mesh, cidx, lens, encode.num_rows(A, K))
+
+        M = len(group)
+        v = tuple(
+            jnp.stack([jnp.asarray(m.v[k], jnp.float32) for m in group])
+            for k in range(K + 1)
+        )  # each [M, A^(k+1), W]
+        q = jnp.full((M,), params.q, jnp.float32)
+        alphas = jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in group])
+        f_bg = jnp.asarray(group[0].f_bg, jnp.float32)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            seed_sh = NamedSharding(mesh, P("seed"))
+            v = jax.device_put(v, seed_sh)
+            q = jax.device_put(q, seed_sh)
+            alphas = jax.device_put(alphas, seed_sh)
+
+        step = _batched_step(A, K, W, params.optimizeQ)
+        n_win = int(cidx.shape[0]) * int(
+            np.maximum(np.asarray(lens) - W + 1, 0).sum()
+        )
+        ll_hist: list = []
+        t0 = time.perf_counter()
+        it = 0
+        lls = vds = None
+        nr = jnp.asarray(n_real, jnp.float32)
+        for it in range(1, params.maxEMIterations + 1):
+            v, q, lls, vds = step(v, q, cidx, lens, bg_flat, alphas, f_bg, nr)
+            ll_hist.append(np.asarray(lls))
+            if float(jnp.max(vds)) < params.epsilon:
+                break
+        seconds = time.perf_counter() - t0
+
+        for gi, i in enumerate(idxs):
+            motifs[i].v = [np.asarray(v[k][gi], np.float64) for k in range(K + 1)]
+            results[i] = EMResult(
+                iterations=it,
+                ll=float(lls[gi]),
+                q=float(q[gi]),
+                v_diff=float(vds[gi]),
+                converged=float(vds[gi]) < params.epsilon,
+                ll_history=[float(h[gi]) for h in ll_hist],
+                seconds=seconds,
+                windows_scored=n_win * it * len(group),
+            )
+    return results
+
+
+def _batched_step(A: int, K: int, W: int, optimize_q: bool):
+    """vmap em_step over the seed axis (model batched, data broadcast)."""
+
+    def single(v, q, cidx, lens, bg_flat, alphas, f_bg, n_real):
+        return em_step(
+            v, q, cidx, lens, bg_flat, alphas, f_bg, n_real,
+            A=A, K=K, W=W, optimize_q=optimize_q, use_pallas=False,
+        )
+
+    return jax.jit(
+        jax.vmap(
+            single,
+            in_axes=(0, 0, None, None, None, 0, None, None),
+            out_axes=(0, 0, 0, 0),
+        )
+    )

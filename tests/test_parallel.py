@@ -1,0 +1,115 @@
+"""Sharding tests: shard invariance, multi-seed vmap, dryrun entry points."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from bammmotif2_tpu.models import seeds as seeds_mod
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.parallel import mesh as mesh_mod
+from bammmotif2_tpu.refinement.em import run_em
+from bammmotif2_tpu.refinement.multi import run_em_multi
+from bammmotif2_tpu.utils.config import Params
+
+from tests.test_em import planted_set
+
+MOTIF = "TGACTCAG"
+
+
+@pytest.fixture(scope="module")
+def planted():
+    # 300 is not divisible by 8: exercises the pad path
+    sset = planted_set(n=300, l=80, motif=MOTIF, q=0.8, noise=0.1)
+    bg = BackgroundModel.from_sequence_set(sset, order=2)
+    return sset, bg
+
+
+def seed_motif(sset, K=2, soft=0.6):
+    return seeds_mod.motif_from_pwm(
+        seeds_mod.iupac_to_pwm(MOTIF, soft=soft), K=K, f_bg=sset.base_frequencies()
+    )
+
+
+class TestShardInvariance:
+    def test_sharded_em_matches_single_device(self, planted):
+        sset, bg = planted
+        params = Params(EM=True, q=0.5, maxEMIterations=10, optimizeQ=True, use_pallas=False)
+
+        m_single = seed_motif(sset)
+        r_single = run_em(m_single, bg, sset, params)
+
+        mesh = mesh_mod.make_mesh(n_data=8, n_seed=1)
+        m_shard = seed_motif(sset)
+        r_shard = run_em(m_shard, bg, sset, params, mesh=mesh)
+
+        assert r_single.iterations == r_shard.iterations
+        np.testing.assert_allclose(r_single.ll, r_shard.ll, rtol=1e-4)
+        np.testing.assert_allclose(r_single.q, r_shard.q, rtol=1e-4)
+        for a, b in zip(m_single.v, m_shard.v):
+            np.testing.assert_allclose(a, b, atol=2e-4)
+
+    def test_mesh_2d(self, planted):
+        sset, bg = planted
+        mesh = mesh_mod.make_mesh(n_data=4, n_seed=2)
+        assert dict(mesh.shape) == {"data": 4, "seed": 2}
+        m = seed_motif(sset)
+        params = Params(EM=True, maxEMIterations=3, use_pallas=False)
+        r = run_em(m, bg, sset, params, mesh=mesh)
+        assert np.isfinite(r.ll)
+
+
+class TestMultiSeed:
+    def test_vmap_matches_sequential(self, planted):
+        sset, bg = planted
+        params = Params(EM=True, q=0.5, maxEMIterations=8, use_pallas=False)
+
+        seeds = [seed_motif(sset, soft=s) for s in (0.55, 0.65, 0.75)]
+        singles = [m.copy() for m in seeds]
+        for m in singles:
+            run_em(m, bg, sset, params)
+
+        results = run_em_multi(seeds, bg, sset, params)
+        assert len(results) == 3
+        for m_batch, m_single in zip(seeds, singles):
+            for a, b in zip(m_batch.v, m_single.v):
+                np.testing.assert_allclose(a, b, atol=2e-4)
+
+    def test_mixed_widths_grouped(self, planted):
+        sset, bg = planted
+        m1 = seed_motif(sset)  # W=8
+        m2 = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm("TGACTC"), K=2, f_bg=sset.base_frequencies()
+        )  # W=6
+        res = run_em_multi([m1, m2], bg, sset, Params(EM=True, maxEMIterations=3, use_pallas=False))
+        assert all(r is not None and np.isfinite(r.ll) for r in res)
+
+    def test_multi_seed_on_mesh(self, planted):
+        sset, bg = planted
+        mesh = mesh_mod.make_mesh(n_data=4, n_seed=2)
+        seeds = [seed_motif(sset, soft=s) for s in (0.6, 0.7)]
+        res = run_em_multi(seeds, bg, sset, Params(EM=True, maxEMIterations=3, use_pallas=False), mesh=mesh)
+        assert all(np.isfinite(r.ll) for r in res)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        v_new, q_new, ll, v_diff = out
+        assert np.isfinite(float(ll))
+
+    def test_dryrun_multichip(self, capsys):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+        assert "dryrun_multichip OK" in capsys.readouterr().out

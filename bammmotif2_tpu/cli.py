@@ -1,0 +1,222 @@
+"""Command-line driver: the reference's ``BaMMmotif`` pipeline.
+
+TPU-native equivalent of ``src/main.cpp`` + ``src/Global/Global.cpp``:
+parse reference-compatible flags, load sequence sets, build/load the
+background model, fan out seeds, refine (EM and/or CGS — all seeds of a
+width group in one batched program instead of OpenMP threads), write model
+files, then optionally scan for occurrences and run FDR evaluation.
+
+Reference command lines run unmodified, e.g.:
+
+    bammmotif2-tpu OUTDIR positives.fasta --PWMFile seeds.meme \
+        --EM --FDR --scoreSeqset -k 2 -K 2 -q 0.9 --mFold 10 --cvFold 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from bammmotif2_tpu.evaluation.fdr import evaluate_motif
+from bammmotif2_tpu.generator import seqgen
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.models.motifset import load_motifs
+from bammmotif2_tpu.refinement.em import run_em
+from bammmotif2_tpu.refinement.gibbs import run_gibbs
+from bammmotif2_tpu.refinement.multi import run_em_multi
+from bammmotif2_tpu.scoring import scan
+from bammmotif2_tpu.utils.alphabet import Alphabet
+from bammmotif2_tpu.utils.config import Params
+from bammmotif2_tpu.utils.fasta import read_fasta
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bammmotif2-tpu",
+        description="TPU-native Bayesian Markov Model motif discovery "
+        "(BaMMmotif2-compatible)",
+    )
+    p.add_argument("outputDirectory")
+    p.add_argument("posSequenceFile")
+    # sequence options
+    p.add_argument("--negSeqFile", dest="negSequenceFile", default=None)
+    p.add_argument("--alphabet", dest="alphabetType", default="STANDARD")
+    p.add_argument("--ss", action="store_true")
+    # init
+    p.add_argument("--bindingSiteFile", default=None)
+    p.add_argument("--PWMFile", default=None)
+    p.add_argument("--BaMMFile", default=None)
+    p.add_argument("--maxPWM", type=int, default=None)
+    # model
+    p.add_argument("-k", "--order", dest="modelOrder", type=int, default=2)
+    p.add_argument("-a", "--alpha", dest="modelAlpha", type=float, default=1.0)
+    p.add_argument("-b", "--beta", dest="modelBeta", type=float, default=7.0)
+    p.add_argument("-r", "--gamma", dest="modelGamma", type=float, default=3.0)
+    p.add_argument("--extend", nargs=2, type=int, default=[0, 0], metavar=("L", "R"))
+    # background
+    p.add_argument("-K", "--Order", dest="bgModelOrder", type=int, default=2)
+    p.add_argument("-A", "--Alpha", dest="bgModelAlpha", type=float, default=10.0)
+    p.add_argument("--bgModelFile", default=None)
+    # EM
+    p.add_argument("--EM", action="store_true")
+    p.add_argument("-e", "--epsilon", dest="epsilon", type=float, default=1e-3)
+    p.add_argument("--maxEMIterations", type=int, default=1000)
+    p.add_argument("-q", dest="q", type=float, default=0.9)
+    p.add_argument("--optimizeQ", action="store_true")
+    # CGS
+    p.add_argument("--CGS", action="store_true")
+    p.add_argument("--maxCGSIterations", type=int, default=100)
+    p.add_argument("--noAlphaOptimization", action="store_true")
+    p.add_argument("--noZSampling", action="store_true")
+    p.add_argument("--noQSampling", action="store_true")
+    # FDR
+    p.add_argument("--FDR", action="store_true")
+    p.add_argument("-m", "--mFold", dest="mFold", type=int, default=10)
+    p.add_argument("-n", "--cvFold", dest="cvFold", type=int, default=5)
+    p.add_argument("-s", "--sOrder", dest="sOrder", type=int, default=2)
+    # scanning
+    p.add_argument("--scoreSeqset", action="store_true")
+    p.add_argument("--pvalCutoff", type=float, default=1e-4)
+    # output
+    p.add_argument("--basename", default=None)
+    p.add_argument("--saveBaMMs", action="store_true", default=True)
+    p.add_argument("--saveInitialBaMMs", action="store_true")
+    p.add_argument("--savePRs", action="store_true", default=True)
+    p.add_argument("--savePvalues", action="store_true")
+    p.add_argument("--saveLogOdds", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    # TPU-native extensions
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-pallas", dest="use_pallas", action="store_false", default=True)
+    return p
+
+
+def params_from_args(argv: list) -> Params:
+    args = build_parser().parse_args(argv)
+    d = vars(args)
+    d["extend"] = tuple(d["extend"])
+    return Params(**{k: v for k, v in d.items() if k in Params.__dataclass_fields__})
+
+
+def run_pipeline(params: Params, mesh=None) -> dict:
+    """Execute the full pipeline; returns a dict of produced artifacts."""
+    t_start = time.perf_counter()
+    out: dict = {"motifs": [], "files": []}
+    os.makedirs(params.outputDirectory, exist_ok=True)
+    alphabet = Alphabet.from_type(params.alphabetType)
+    basename = params.basename or os.path.splitext(
+        os.path.basename(params.posSequenceFile)
+    )[0]
+
+    pos_set = read_fasta(params.posSequenceFile, alphabet)
+    neg_set = (
+        read_fasta(params.negSequenceFile, alphabet)
+        if params.negSequenceFile
+        else None
+    )
+    if params.verbose:
+        print(
+            f"Loaded {pos_set.n} positive sequences "
+            f"(len {pos_set.min_len}..{pos_set.max_len})"
+        )
+
+    # background model: loaded or fit on negatives if given, else positives
+    if params.bgModelFile:
+        bg = BackgroundModel.read(params.bgModelFile, alphabet)
+    else:
+        bg = BackgroundModel.from_sequence_set(
+            neg_set if neg_set is not None else pos_set,
+            order=params.bgModelOrder,
+            alpha=params.bgModelAlpha,
+            ss=params.ss,
+        )
+    bg_paths = bg.write(params.outputDirectory, basename)
+    out["files"] += list(bg_paths)
+    out["bg"] = bg
+
+    motifs = load_motifs(params, pos_set.base_frequencies(), alphabet)
+    out["motifs"] = motifs
+
+    if params.saveInitialBaMMs:
+        for m in motifs:
+            out["files"] += list(
+                m.write(params.outputDirectory, f"{basename}_init_{m.name}")
+            )
+
+    if params.EM:
+        results = run_em_multi(motifs, bg, pos_set, params, mesh=mesh)
+        out["em_results"] = results
+        if params.verbose:
+            for m, r in zip(motifs, results):
+                print(
+                    f"EM {m.name}: {r.iterations} iters, ll={r.ll:.2f}, "
+                    f"q={r.q:.3f}, {r.windows_per_sec:,.0f} windows/s"
+                )
+    elif params.CGS:
+        out["cgs_results"] = [run_gibbs(m, bg, pos_set, params) for m in motifs]
+
+    if params.saveBaMMs:
+        for m in motifs:
+            out["files"] += list(
+                m.write(params.outputDirectory, f"{basename}_{m.name}")
+            )
+
+    if params.scoreSeqset:
+        bg_fit = BackgroundModel.from_sequence_set(
+            pos_set, order=params.sOrder, alpha=params.bgModelAlpha, ss=params.ss
+        )
+        neg_sample = seqgen.generate_neg_set(
+            bg_fit, pos_set.lens, m_fold=max(params.mFold, 1), seed=params.seed
+        )
+        for m in motifs:
+            res = scan.score_set(m, bg, pos_set, ss=params.ss)
+            neg_res = scan.score_set(m, bg, neg_sample, ss=params.ss)
+            occs = scan.find_occurrences(
+                res, pos_set, neg_res.max_scores, params.pvalCutoff
+            )
+            path = os.path.join(
+                params.outputDirectory, f"{basename}_{m.name}.occurrence"
+            )
+            scan.write_occurrences(path, occs)
+            out["files"].append(path)
+            if params.saveLogOdds:
+                lo_path = os.path.join(
+                    params.outputDirectory, f"{basename}_{m.name}.logOdds"
+                )
+                np.savetxt(lo_path, res.max_scores, fmt="%.6g")
+                out["files"].append(lo_path)
+
+    if params.FDR:
+        seed_motifs = load_motifs(params, pos_set.base_frequencies(), alphabet)
+        for m in seed_motifs:
+            fdr_res = evaluate_motif(m, bg, pos_set, params)
+            if params.savePRs:
+                out["files"] += fdr_res.write(
+                    params.outputDirectory, f"{basename}_{m.name}"
+                )
+            if params.savePvalues:
+                pv_path = os.path.join(
+                    params.outputDirectory, f"{basename}_{m.name}.pvalues"
+                )
+                np.savetxt(pv_path, fdr_res.pos_pvalues, fmt="%.4e")
+                out["files"].append(pv_path)
+            out.setdefault("fdr_results", []).append(fdr_res)
+
+    out["runtime_seconds"] = time.perf_counter() - t_start
+    if params.verbose:
+        print(f"Runtime: {out['runtime_seconds']:.2f}s")
+    return out
+
+
+def main(argv=None) -> int:
+    params = params_from_args(sys.argv[1:] if argv is None else argv)
+    run_pipeline(params)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""End-to-end CLI pipeline tests (the reference README walkthrough shape)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bammmotif2_tpu.cli import main, params_from_args
+from bammmotif2_tpu.utils.fasta import write_fasta
+
+from tests.test_em import planted_set
+
+MOTIF = "TGACTCAG"
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    sset = planted_set(n=120, l=80, motif=MOTIF, q=0.85, noise=0.05)
+    fasta = d / "pos.fasta"
+    write_fasta(fasta, sset)
+    meme = d / "seeds.meme"
+    meme.write_text(
+        "MEME version 4\n\nMOTIF seed1\n"
+        "letter-probability matrix: alength= 4 w= 8 nsites= 50\n"
+        + "".join(
+            " ".join(f"{p:.3f}" for p in row) + "\n"
+            for row in __import__(
+                "bammmotif2_tpu.models.seeds", fromlist=["iupac_to_pwm"]
+            ).iupac_to_pwm(MOTIF, soft=0.6)
+        )
+    )
+    return d, str(fasta), str(meme)
+
+
+class TestArgParsing:
+    def test_defaults_match_reference(self):
+        p = params_from_args(["out", "pos.fa", "--PWMFile", "s.meme"])
+        assert p.modelOrder == 2
+        assert p.bgModelOrder == 2
+        assert p.q == 0.9
+        assert p.modelBeta == 7.0
+        assert p.modelGamma == 3.0
+        assert p.bgModelAlpha == 10.0
+        assert p.cvFold == 5
+        assert p.mFold == 10
+        assert p.sOrder == 2
+        assert not p.EM and not p.CGS and not p.FDR
+
+    def test_reference_style_flags(self):
+        p = params_from_args(
+            ["out", "pos.fa", "--PWMFile", "s.meme", "--EM", "--FDR",
+             "-k", "4", "-K", "3", "-q", "0.5", "--mFold", "5", "--ss",
+             "--extend", "2", "3"]
+        )
+        assert p.EM and p.FDR and p.ss
+        assert p.modelOrder == 4 and p.bgModelOrder == 3
+        assert p.q == 0.5 and p.mFold == 5
+        assert p.extend == (2, 3)
+
+
+class TestPipeline:
+    def test_em_pipeline_writes_models(self, workdir):
+        d, fasta, meme = workdir
+        out = d / "run_em"
+        rc = main(
+            [str(out), fasta, "--PWMFile", meme, "--EM", "-k", "2",
+             "-q", "0.5", "--no-pallas", "--basename", "t"]
+        )
+        assert rc == 0
+        files = os.listdir(out)
+        assert "t.hbcp" in files and "t.hbp" in files
+        assert "t_motif_1.ihbcp" in files and "t_motif_1.ihbp" in files
+        # refined model should encode the planted consensus
+        from bammmotif2_tpu.models.motif import Motif
+
+        m = Motif.read(str(out / "t_motif_1.ihbcp"))
+        consensus = "".join("ACGT"[i] for i in m.v[0].argmax(axis=0))
+        assert consensus == MOTIF
+
+    def test_scan_pipeline(self, workdir):
+        d, fasta, meme = workdir
+        out = d / "run_scan"
+        rc = main(
+            [str(out), fasta, "--PWMFile", meme, "--EM", "--scoreSeqset",
+             "--pvalCutoff", "0.01", "-q", "0.5", "--no-pallas",
+             "--basename", "t", "--saveLogOdds"]
+        )
+        assert rc == 0
+        occ = (out / "t_motif_1.occurrence").read_text().splitlines()
+        assert len(occ) > 50  # most of the 120 planted sites found
+        assert (out / "t_motif_1.logOdds").exists()
+
+    def test_fdr_pipeline(self, workdir):
+        d, fasta, meme = workdir
+        out = d / "run_fdr"
+        rc = main(
+            [str(out), fasta, "--PWMFile", meme, "--EM", "--FDR",
+             "--cvFold", "3", "--mFold", "2", "-q", "0.5", "--no-pallas",
+             "--basename", "t", "--savePvalues"]
+        )
+        assert rc == 0
+        stats = (out / "t_motif_1.zoops.stats").read_text().splitlines()
+        assert stats[0].startswith("score\t")
+        assert len(stats) > 100
+        assert (out / "t_motif_1.mops.stats").exists()
+        assert (out / "t_motif_1.pvalues").exists()
+
+    def test_cgs_pipeline(self, workdir):
+        d, fasta, meme = workdir
+        out = d / "run_cgs"
+        rc = main(
+            [str(out), fasta, "--PWMFile", meme, "--CGS",
+             "--maxCGSIterations", "10", "-q", "0.5", "--basename", "t"]
+        )
+        assert rc == 0
+        assert (out / "t_motif_1.ihbcp").exists()
+
+    def test_bgmodel_file_roundtrip(self, workdir):
+        d, fasta, meme = workdir
+        out1 = d / "run_bg1"
+        main([str(out1), fasta, "--PWMFile", meme, "--basename", "t"])
+        # reuse the saved background via --bgModelFile
+        out2 = d / "run_bg2"
+        rc = main(
+            [str(out2), fasta, "--PWMFile", meme, "--basename", "t",
+             "--bgModelFile", str(out1 / "t.hbcp")]
+        )
+        assert rc == 0
+        a = (out1 / "t.hbcp").read_text()
+        b = (out2 / "t.hbcp").read_text()
+        assert a == b  # byte-identical round-trip through read->write

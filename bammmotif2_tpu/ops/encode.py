@@ -91,6 +91,59 @@ def combined_kmer_index(codes: jnp.ndarray, A: int, K: int) -> jnp.ndarray:
     return jnp.where(valid, cidx, R).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("A", "K"))
+def base5_kmer_index(codes: jnp.ndarray, A: int, K: int) -> jnp.ndarray:
+    """qidx[n, t]: (A+1)-ary code of the K+1 bases ending at t.
+
+    Digit d (weight (A+1)^d) is the base at t-d; the extra symbol ``A``
+    stands for "no base" (ambiguous, or before the sequence start).  This
+    is the index into the Kronecker one-hot space used by the matmul
+    formulation of scoring: every combined-LUT row is reachable as
+    ``map_base5_to_combined(A, K)[qidx]`` (== combined_kmer_index), but
+    qidx itself is expressible as a product of per-position one-hots, which
+    turns gather/scatter into MXU matmuls (ops.pallas_em).
+    """
+    codes = codes.astype(jnp.int32)
+    N, L = codes.shape
+    B = A + 1
+    sym = jnp.where(codes >= 0, codes, A)
+    out = sym
+    for d in range(1, K + 1):
+        shifted = jnp.concatenate(
+            [jnp.full((N, d), A, jnp.int32), sym[:, : L - d]], axis=1
+        )
+        out = out + shifted * (B ** d)
+    return out
+
+
+def map_base5_to_combined(A: int, K: int) -> np.ndarray:
+    """Static lookup [ (A+1)^(K+1) ] -> combined-LUT row in [0, R].
+
+    Implements the order-truncation rule of ``combined_kmer_index`` in the
+    base-5 code space: current base invalid -> sentinel row R; otherwise the
+    effective order m is the longest run of valid context digits, and the
+    row is off[m] + lexicographic code of the (m+1)-mer.
+    """
+    B = A + 1
+    Q = B ** (K + 1)
+    off = order_offsets(A, K)
+    R = int(off[-1])
+    out = np.empty(Q, np.int32)
+    for c in range(Q):
+        digits = [(c // B ** d) % B for d in range(K + 1)]  # digit d = base at t-d
+        if digits[0] == A:
+            out[c] = R
+            continue
+        m = 0
+        while m < K and digits[m + 1] != A:
+            m += 1
+        y = 0
+        for d in range(m, -1, -1):
+            y = y * A + digits[d]
+        out[c] = off[m] + y
+    return out
+
+
 def revcomp_codes(codes: np.ndarray, lens: np.ndarray, comp_table: np.ndarray) -> np.ndarray:
     """Host-side reverse complement of a padded code batch.
 
@@ -112,6 +165,18 @@ def revcomp_codes(codes: np.ndarray, lens: np.ndarray, comp_table: np.ndarray) -
     return np.where(in_range, comp, -2).astype(np.int8)
 
 
+def _strand_codes(sset: SequenceSet, ss: bool) -> list:
+    """Forward (+ reverse-complement unless ss) code arrays."""
+    out = [jnp.asarray(sset.codes)]
+    if not ss:
+        table = np.array(
+            [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
+            dtype=np.int8,
+        )
+        out.append(jnp.asarray(revcomp_codes(sset.codes, sset.lens, table)))
+    return out
+
+
 def strand_indices(sset: SequenceSet, K: int, ss: bool):
     """Build the per-strand combined k-mer index tensors for a SequenceSet.
 
@@ -119,14 +184,13 @@ def strand_indices(sset: SequenceSet, K: int, ss: bool):
     single-strand (--ss) or 2 (forward, reverse-complement) otherwise.
     """
     A = sset.alphabet.size
-    fwd = combined_kmer_index(jnp.asarray(sset.codes), A, K)
-    if ss:
-        cidx = fwd[None]
-    else:
-        table = np.array(
-            [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
-            dtype=np.int8,
-        )
-        rc = revcomp_codes(sset.codes, sset.lens, table)
-        cidx = jnp.stack([fwd, combined_kmer_index(jnp.asarray(rc), A, K)])
+    strands = _strand_codes(sset, ss)
+    cidx = jnp.stack([combined_kmer_index(c, A, K) for c in strands])
     return cidx, jnp.asarray(sset.lens)
+
+
+def strand_base5_indices(sset: SequenceSet, K: int, ss: bool) -> jnp.ndarray:
+    """Per-strand base-(A+1) k-mer codes, [S, N, L] (see base5_kmer_index)."""
+    A = sset.alphabet.size
+    strands = _strand_codes(sset, ss)
+    return jnp.stack([base5_kmer_index(c, A, K) for c in strands])

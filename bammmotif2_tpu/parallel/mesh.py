@@ -37,27 +37,35 @@ def make_mesh(n_data: int | None = None, n_seed: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_data, n_seed), ("data", "seed"))
 
 
-def shard_data(mesh: Mesh, cidx, lens, sentinel: int):
-    """Place sequence tensors sharded over the data axis.
-
-    cidx [S, N, L] shards on N; lens [N] shards on N.  The N axis is padded
-    to a multiple of the data-axis size with empty sequences (every
-    position = the sentinel LUT row, length 0 -> no valid windows, zero
-    responsibility) so GSPMD partitions evenly.
-    """
+def shard_em_data(mesh: Mesh, data: dict, sentinel: int) -> dict:
+    """Shard a prepare_data() dict: index tensors + lens over 'data',
+    bg_flat/map5 replicated.  Pads N so GSPMD partitions evenly; pad
+    sequences have length 0 and all-invalid positions."""
     import jax.numpy as jnp
 
     n_data = mesh.shape["data"]
-    S, N, L = cidx.shape
+    S, N, L = data["cidx"].shape
     pad = (-N) % n_data
+    cidx, qidx, lens = data["cidx"], data["qidx"], data["lens"]
     if pad:
         cidx = jnp.concatenate(
             [cidx, jnp.full((S, pad, L), sentinel, cidx.dtype)], axis=1
         )
+        # all-symbols-invalid base-5 code = Q-1 (current digit = A)
+        qidx = jnp.concatenate(
+            [qidx, jnp.full((S, pad, L), int(data["map5"].shape[0]) - 1, qidx.dtype)],
+            axis=1,
+        )
         lens = jnp.concatenate([lens, jnp.zeros((pad,), lens.dtype)])
-    cidx = jax.device_put(cidx, NamedSharding(mesh, P(None, "data", None)))
-    lens = jax.device_put(lens, NamedSharding(mesh, P("data")))
-    return cidx, lens
+    seq_sh = NamedSharding(mesh, P(None, "data", None))
+    rep = NamedSharding(mesh, P())
+    return {
+        "cidx": jax.device_put(cidx, seq_sh),
+        "qidx": jax.device_put(qidx, seq_sh),
+        "lens": jax.device_put(lens, NamedSharding(mesh, P("data"))),
+        "bg_flat": jax.device_put(data["bg_flat"], rep),
+        "map5": jax.device_put(data["map5"], rep),
+    }
 
 
 def replicate(mesh: Mesh, tree):

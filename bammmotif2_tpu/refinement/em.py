@@ -4,17 +4,21 @@ TPU-native equivalent of ``src/refinement/EM.{h,cpp}`` (``EM::optimize``,
 ``EStep``, ``MStep``, ``optimizeQ``).  One EM iteration is ONE jitted XLA
 program over device-resident tensors:
 
-    E: rebuild the [R+1, W] log-odds LUT (cheap), gather+sum window scores,
-       ZOOPS-normalize responsibilities (ops.escore)
-    M: scatter responsibilities into combined count rows, marginalize to
-       per-order counts, apply the interpolated pseudo-count estimator
+    E: rebuild the [R+1, W] log-odds LUT (cheap), window scores, log-space
+       ZOOPS posterior
+    M: fractional combined count rows, marginalize to per-order counts,
+       apply the interpolated pseudo-count estimator
        (models.motif.update_v), optionally update q
 
-Only two scalars (log-likelihood, |delta v_K|) return to the host per
-iteration; the convergence check |delta v| < epsilon with a
---maxEMIterations cap matches the reference's loop.  Multi-chip: see
-``bammmotif2_tpu.parallel`` — the same step with the sequence axis sharded
-over the mesh; XLA inserts the single psum for the count merge.
+Two data paths produce identical counts/likelihood:
+  * ``ops.escore``  — gather/segment-sum XLA ops (any order; CPU-friendly);
+  * ``ops.pallas_em`` — fused single-sweep Pallas TPU kernel (K <= 3): the
+    one-hot lives in VMEM and both E and M are MXU matmuls.
+
+Only two scalars (log-likelihood, |delta v|) return to the host per
+iteration; convergence is |delta v| < epsilon with a --maxEMIterations cap,
+as in the reference.  Multi-chip: pass a mesh — sequences shard over the
+'data' axis and GSPMD inserts the one count all-reduce per iteration.
 """
 
 from __future__ import annotations
@@ -51,15 +55,32 @@ class EMResult:
         return self.windows_scored / self.seconds if self.seconds > 0 else 0.0
 
 
+def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool) -> dict:
+    """One-time device tensorization for EM/scanning.
+
+    Returns a dict pytree:
+      cidx [S, N, L] combined-LUT rows (gather path)
+      qidx [S, N, L] base-(A+1) codes (Pallas matmul path)
+      lens [N], bg_flat [R], map5 [(A+1)^(K+1)]
+    """
+    A = sset.alphabet.size
+    cidx, lens = encode.strand_indices(sset, K, ss)
+    return {
+        "cidx": cidx,
+        "qidx": encode.strand_base5_indices(sset, K, ss),
+        "lens": lens,
+        "bg_flat": jnp.asarray(bg.conditional_flat(K), jnp.float32),
+        "map5": jnp.asarray(encode.map_base5_to_combined(A, K)),
+    }
+
+
 @functools.partial(
-    jax.jit, static_argnames=("A", "K", "W", "optimize_q", "use_pallas")
+    jax.jit, static_argnames=("A", "K", "W", "optimize_q", "path")
 )
 def em_step(
     v: tuple,
     q: jnp.ndarray,
-    cidx: jnp.ndarray,
-    lens: jnp.ndarray,
-    bg_flat: jnp.ndarray,
+    data: dict,
     alphas: jnp.ndarray,
     f_bg: jnp.ndarray,
     n_real: jnp.ndarray | None = None,
@@ -68,7 +89,7 @@ def em_step(
     K: int,
     W: int,
     optimize_q: bool,
-    use_pallas: bool = False,
+    path: str = "gather",
 ):
     """One fused EM iteration. Returns (v_new, q_new, ll, v_diff).
 
@@ -76,18 +97,25 @@ def em_step(
     a shardable multiple (parallel.mesh.shard_data), the zero-length pad
     sequences each contribute exactly log(1-q) to the ZOOPS likelihood and
     1 to the q denominator — both are corrected here so sharded and
-    unsharded runs agree bitwise-in-math.
+    unsharded runs agree.
+
+    ``path``: 'gather' (XLA, any K), 'pallas' (fused TPU kernel, K <= 3),
+    or 'pallas_interpret' (kernel correctness mode on CPU).
     """
     R = encode.num_rows(A, K)
-    s_flat = motif_mod.log_odds_lut(v, bg_flat)
-    if use_pallas:
+    lens = data["lens"]
+    s_flat = motif_mod.log_odds_lut(v, data["bg_flat"])
+    if path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 
-        C, ll = pallas_em.em_counts(s_flat, cidx, lens, q, W, R)
+        C, ll = pallas_em.em_counts(
+            s_flat, data["qidx"], lens, q, data["map5"],
+            A=A, K=K, W=W, R=R, interpret=path == "pallas_interpret",
+        )
     else:
-        scores, mask = escore.window_scores(s_flat, cidx, lens, W)
+        scores, mask = escore.window_scores(s_flat, data["cidx"], lens, W)
         r, _r0, ll = escore.zoops_posterior(scores, mask, q)
-        C = escore.mstep_counts(r, cidx, R, W)
+        C = escore.mstep_counts(r, data["cidx"], R, W)
     counts = motif_mod.counts_from_combined(C[:R], A, K)
     v_new = motif_mod.update_v(counts, alphas, f_bg)
     if optimize_q:
@@ -107,11 +135,14 @@ def em_step(
     return v_new, q_new, ll, v_diff
 
 
-def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool):
-    """One-time device tensorization for EM/scanning."""
-    cidx, lens = encode.strand_indices(sset, K, ss)
-    bg_flat = jnp.asarray(bg.conditional_flat(K), jnp.float32)
-    return cidx, lens, bg_flat
+def choose_path(params: Params, K: int) -> str:
+    """Pick the fastest correct data path for this run."""
+    if params.use_pallas and jax.default_backend() == "tpu":
+        from bammmotif2_tpu.ops import pallas_em
+
+        if pallas_em.supported(K):
+            return "pallas"
+    return "gather"
 
 
 def run_em(
@@ -119,7 +150,7 @@ def run_em(
     bg: BackgroundModel,
     sset: SequenceSet,
     params: Params | None = None,
-    data=None,
+    data: dict | None = None,
     verbose: bool | None = None,
     mesh=None,
 ) -> EMResult:
@@ -134,14 +165,15 @@ def run_em(
     A, K, W = motif.A, motif.K, motif.W
     if data is None:
         data = prepare_data(sset, bg, K, params.ss)
-    cidx, lens, bg_flat = data
 
-    n_real = int(lens.shape[0])
-    n_win = int(cidx.shape[0]) * int(np.maximum(np.asarray(lens) - W + 1, 0).sum())
+    n_real = int(data["lens"].shape[0])
+    n_win = int(data["cidx"].shape[0]) * int(
+        np.maximum(np.asarray(data["lens"]) - W + 1, 0).sum()
+    )
     if mesh is not None:
         from bammmotif2_tpu.parallel import mesh as mesh_mod
 
-        cidx, lens = mesh_mod.shard_data(mesh, cidx, lens, encode.num_rows(A, K))
+        data = mesh_mod.shard_em_data(mesh, data, encode.num_rows(A, K))
 
     v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
     q = jnp.asarray(params.q, jnp.float32)
@@ -150,19 +182,17 @@ def run_em(
     if mesh is not None:
         from bammmotif2_tpu.parallel import mesh as mesh_mod
 
-        v, q, alphas, f_bg, bg_flat = mesh_mod.replicate(
-            mesh, (v, q, alphas, f_bg, bg_flat)
-        )
+        v, q, alphas, f_bg = mesh_mod.replicate(mesh, (v, q, alphas, f_bg))
+
+    path = choose_path(params, K)
     ll_hist: list = []
     t0 = time.perf_counter()
     it, ll, v_diff = 0, float("-inf"), float("inf")
     converged = False
     for it in range(1, params.maxEMIterations + 1):
         v, q, ll_dev, vd_dev = em_step(
-            v, q, cidx, lens, bg_flat, alphas, f_bg,
-            jnp.asarray(n_real, jnp.float32),
-            A=A, K=K, W=W, optimize_q=params.optimizeQ,
-            use_pallas=params.use_pallas and _pallas_available(),
+            v, q, data, alphas, f_bg, jnp.asarray(n_real, jnp.float32),
+            A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
         )
         ll, v_diff = float(ll_dev), float(vd_dev)
         ll_hist.append(ll)
@@ -184,14 +214,3 @@ def run_em(
         seconds=seconds,
         windows_scored=n_win * it,
     )
-
-
-def _pallas_available() -> bool:
-    if jax.default_backend() != "tpu":
-        return False
-    try:
-        from bammmotif2_tpu.ops import pallas_em  # noqa: F401
-
-        return True
-    except ImportError:
-        return False

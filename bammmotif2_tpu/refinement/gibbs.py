@@ -176,7 +176,7 @@ def run_gibbs(
     A, K, W = motif.A, motif.K, motif.W
     if data is None:
         data = prepare_data(sset, bg, K, params.ss)
-    cidx, lens, bg_flat = data
+    cidx, lens, bg_flat = data["cidx"], data["lens"], data["bg_flat"]
 
     v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
     q = jnp.asarray(params.q, jnp.float32)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bammmotif2_tpu.models.background import BackgroundModel
-from bammmotif2_tpu.refinement.em import EMResult, em_step, prepare_data
+from bammmotif2_tpu.refinement.em import EMResult, choose_path, em_step, prepare_data
 from bammmotif2_tpu.ops import encode
 from bammmotif2_tpu.utils.config import Params
 from bammmotif2_tpu.utils.fasta import SequenceSet
@@ -50,12 +50,14 @@ def run_em_multi(
         group = [motifs[i] for i in idxs]
         A = group[0].A
         data = prepare_data(sset, bg, K, params.ss)
-        cidx, lens, bg_flat = data
-        n_real = int(lens.shape[0])
+        n_real = int(data["lens"].shape[0])
+        n_win_1 = int(data["cidx"].shape[0]) * int(
+            np.maximum(np.asarray(data["lens"]) - W + 1, 0).sum()
+        )
         if mesh is not None:
             from bammmotif2_tpu.parallel import mesh as mesh_mod
 
-            cidx, lens = mesh_mod.shard_data(mesh, cidx, lens, encode.num_rows(A, K))
+            data = mesh_mod.shard_em_data(mesh, data, encode.num_rows(A, K))
 
         M = len(group)
         v = tuple(
@@ -74,17 +76,15 @@ def run_em_multi(
             q = jax.device_put(q, seed_sh)
             alphas = jax.device_put(alphas, seed_sh)
 
-        step = _batched_step(A, K, W, params.optimizeQ)
-        n_win = int(cidx.shape[0]) * int(
-            np.maximum(np.asarray(lens) - W + 1, 0).sum()
-        )
+        step = _batched_step(A, K, W, params.optimizeQ, choose_path(params, K))
+        n_win = n_win_1
         ll_hist: list = []
         t0 = time.perf_counter()
         it = 0
         lls = vds = None
         nr = jnp.asarray(n_real, jnp.float32)
         for it in range(1, params.maxEMIterations + 1):
-            v, q, lls, vds = step(v, q, cidx, lens, bg_flat, alphas, f_bg, nr)
+            v, q, lls, vds = step(v, q, data, alphas, f_bg, nr)
             ll_hist.append(np.asarray(lls))
             if float(jnp.max(vds)) < params.epsilon:
                 break
@@ -105,19 +105,19 @@ def run_em_multi(
     return results
 
 
-def _batched_step(A: int, K: int, W: int, optimize_q: bool):
+def _batched_step(A: int, K: int, W: int, optimize_q: bool, path: str = "gather"):
     """vmap em_step over the seed axis (model batched, data broadcast)."""
 
-    def single(v, q, cidx, lens, bg_flat, alphas, f_bg, n_real):
+    def single(v, q, data, alphas, f_bg, n_real):
         return em_step(
-            v, q, cidx, lens, bg_flat, alphas, f_bg, n_real,
-            A=A, K=K, W=W, optimize_q=optimize_q, use_pallas=False,
+            v, q, data, alphas, f_bg, n_real,
+            A=A, K=K, W=W, optimize_q=optimize_q, path=path,
         )
 
     return jax.jit(
         jax.vmap(
             single,
-            in_axes=(0, 0, None, None, None, 0, None, None),
+            in_axes=(0, 0, None, 0, None, None),
             out_axes=(0, 0, 0, 0),
         )
     )

@@ -1,0 +1,169 @@
+"""Driver benchmark: EM window-scoring throughput on one chip.
+
+Measures the BASELINE.json metric — "EM sequence-windows scored/sec/chip at
+order-2; iterations/sec on 10k-seq set" — by timing fused EM iterations on
+a synthetic 10k x 200 bp planted-motif set (both strands, W=12, K=2).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "windows/sec/chip",
+     "vs_baseline": N, ...}
+
+`vs_baseline` anchor: the reference publishes NO numbers (BASELINE.json
+`published: {}`) and the reference mount was empty, so the anchor is a
+self-measured CPU run of the same EM step (JAX CPU backend, this machine),
+standing in for the reference's single-node CPU performance.  The anchor is
+cached in BENCH_ANCHOR.json after the first run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_SEQS = 10_000
+SEQ_LEN = 200
+W = 12
+K = 2
+N_TIMED_ITERS = 30
+ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+
+
+def build_problem():
+    import jax.numpy as jnp
+
+    from bammmotif2_tpu.models import seeds as seeds_mod
+    from bammmotif2_tpu.models.background import BackgroundModel
+    from bammmotif2_tpu.refinement.em import prepare_data
+    from bammmotif2_tpu.utils.alphabet import Alphabet
+    from bammmotif2_tpu.utils.fasta import SequenceSet
+
+    rng = np.random.default_rng(0)
+    alphabet = Alphabet.from_type("STANDARD")
+    codes = rng.integers(0, 4, (N_SEQS, SEQ_LEN)).astype(np.int8)
+    motif_codes = rng.integers(0, 4, W)
+    pos = rng.integers(0, SEQ_LEN - W, N_SEQS)
+    has = rng.random(N_SEQS) < 0.8
+    for n in range(N_SEQS):
+        if has[n]:
+            codes[n, pos[n] : pos[n] + W] = motif_codes
+    lens = np.full(N_SEQS, SEQ_LEN, np.int32)
+    sset = SequenceSet(
+        codes=codes,
+        lens=lens,
+        headers=[f"s{i}" for i in range(N_SEQS)],
+        alphabet=alphabet,
+    )
+    bg = BackgroundModel.from_sequence_set(sset, order=2, alpha=10.0, ss=False)
+    pwm = np.full((W, 4), 0.1, np.float64)
+    pwm[np.arange(W), motif_codes] = 0.7
+    motif = seeds_mod.motif_from_pwm(pwm, K=K, f_bg=sset.base_frequencies())
+    data = prepare_data(sset, bg, K, ss=False)
+    v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
+    alphas = jnp.asarray(motif.alphas, jnp.float32)
+    f_bg = jnp.asarray(motif.f_bg, jnp.float32)
+    q = jnp.asarray(0.9, jnp.float32)
+    n_windows_per_iter = 2 * int(np.maximum(lens - W + 1, 0).sum())
+    return v, q, data, alphas, f_bg, n_windows_per_iter
+
+
+def time_em(path: str) -> tuple[float, float]:
+    """Returns (windows_per_sec, iters_per_sec) for the given data path."""
+    import jax
+    import jax.numpy as jnp
+
+    from bammmotif2_tpu.refinement.em import em_step
+
+    v, q, data, alphas, f_bg, n_win = build_problem()
+    nr = jnp.asarray(float(N_SEQS), jnp.float32)
+
+    def step(v, q):
+        return em_step(
+            v, q, data, alphas, f_bg, nr,
+            A=4, K=K, W=W, optimize_q=True, path=path,
+        )
+
+    # warm-up (compile + first run)
+    v1, q1, ll, vd = step(v, q)
+    jax.block_until_ready((v1, q1))
+    t0 = time.perf_counter()
+    for _ in range(N_TIMED_ITERS):
+        v1, q1, ll, vd = step(v1, q1)
+    jax.block_until_ready((v1, q1, ll, vd))
+    dt = time.perf_counter() - t0
+    return n_win * N_TIMED_ITERS / dt, N_TIMED_ITERS / dt
+
+
+def measure_anchor() -> float:
+    """CPU anchor (reference stand-in): same EM step on the host CPU."""
+    import subprocess
+
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "import bench; w,i = bench.time_em('gather');"
+        "print('ANCHOR', w)" % os.path.dirname(os.path.abspath(__file__))
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "BENCH_CPU_CHILD": "1"},
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("ANCHOR"):
+            return float(line.split()[1])
+    raise RuntimeError(f"anchor run failed: {out.stderr[-2000:]}")
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    from bammmotif2_tpu.ops import pallas_em
+    from bammmotif2_tpu.refinement import em as em_mod  # noqa: F401
+
+    path = "pallas" if backend == "tpu" and pallas_em.supported(K) else "gather"
+    try:
+        wps, ips = time_em(path)
+    except Exception:
+        if path == "pallas":
+            path = "gather"
+            wps, ips = time_em(path)
+        else:
+            raise
+
+    if os.path.exists(ANCHOR_FILE):
+        with open(ANCHOR_FILE) as f:
+            anchor = json.load(f)["cpu_windows_per_sec"]
+    else:
+        try:
+            anchor = measure_anchor()
+            with open(ANCHOR_FILE, "w") as f:
+                json.dump(
+                    {"cpu_windows_per_sec": anchor,
+                     "note": "JAX CPU-backend run of the same order-2 EM "
+                             "step on this machine (reference stand-in; "
+                             "reference publishes no numbers)"},
+                    f, indent=1,
+                )
+        except Exception:
+            anchor = None
+
+    print(json.dumps({
+        "metric": "EM sequence-windows scored/sec/chip (order-2, 10k x 200bp, W=12, both strands)",
+        "value": round(wps),
+        "unit": "windows/sec",
+        "vs_baseline": round(wps / anchor, 2) if anchor else None,
+        "iters_per_sec": round(ips, 2),
+        "backend": backend,
+        "path": path,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Pallas fused EM kernel: equivalence with the XLA gather path.
+
+Runs the kernel in interpreter mode on CPU; the compiled path is exercised
+on real TPU hardware by bench.py and the driver.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bammmotif2_tpu.models import seeds as seeds_mod
+from bammmotif2_tpu.models.background import BackgroundModel
+from bammmotif2_tpu.ops import encode
+from bammmotif2_tpu.refinement.em import em_step, prepare_data
+from bammmotif2_tpu.utils.fasta import SequenceSet
+
+from tests.test_em import planted_set
+
+MOTIF = "TGACTCAG"
+
+
+def naive_cidx_check(sset, K):
+    cidx, _ = encode.strand_indices(sset, K, ss=False)
+    qidx = encode.strand_base5_indices(sset, K, ss=False)
+    map5 = encode.map_base5_to_combined(4, K)
+    np.testing.assert_array_equal(np.asarray(cidx), map5[np.asarray(qidx)])
+
+
+class TestBase5Encoding:
+    @pytest.mark.parametrize("K", [0, 1, 2, 3])
+    def test_map5_consistent_with_cidx(self, K):
+        # with ambiguous bases and ragged lengths
+        sset = SequenceSet.from_sequences(["ACGTNACGTACG", "TTNAC", "GGGGGGGG"])
+        naive_cidx_check(sset, K)
+
+    def test_map5_sentinel(self):
+        map5 = encode.map_base5_to_combined(4, 2)
+        R = encode.num_rows(4, 2)
+        # current base invalid -> sentinel regardless of context
+        assert map5[4] == R
+        assert map5[4 + 5 * 2 + 25 * 3] == R
+        # full context -> order-2 block
+        off = encode.order_offsets(4, 2)
+        c = 1 + 5 * 2 + 25 * 3  # base C, prev G, prevprev T
+        assert map5[c] == off[2] + (3 * 16 + 2 * 4 + 1)
+
+
+def _setup(K, W, n=60, l=50, ragged=True):
+    rng = np.random.default_rng(0)
+    seqs = []
+    for i in range(n):
+        length = l if not ragged else int(rng.integers(W + 2, l + 1))
+        s = rng.choice(list("ACGT"), size=length)
+        if i % 3 == 0 and length > 10:
+            s[5] = "N"  # sprinkle ambiguity
+        seqs.append("".join(s))
+    sset = SequenceSet.from_sequences(seqs)
+    bg = BackgroundModel.from_sequence_set(sset, order=min(2, K + 1))
+    motif = seeds_mod.motif_from_pwm(
+        seeds_mod.iupac_to_pwm(MOTIF[:W].ljust(W, "N"), soft=0.6),
+        K=K,
+        f_bg=sset.base_frequencies(),
+    )
+    data = prepare_data(sset, bg, K, ss=False)
+    v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
+    return v, data, motif
+
+
+class TestPallasKernelEquivalence:
+    @pytest.mark.parametrize("K,W", [(0, 8), (1, 8), (2, 8), (3, 6)])
+    def test_matches_gather_path(self, K, W):
+        v, data, motif = _setup(K, W)
+        alphas = jnp.asarray(motif.alphas, jnp.float32)
+        f_bg = jnp.asarray(motif.f_bg, jnp.float32)
+        q = jnp.asarray(0.7, jnp.float32)
+
+        kw = dict(A=4, K=K, W=W, optimize_q=True)
+        vg, qg, llg, vdg = em_step(v, q, data, alphas, f_bg, path="gather", **kw)
+        vp, qp, llp, vdp = em_step(
+            v, q, data, alphas, f_bg, path="pallas_interpret", **kw
+        )
+        np.testing.assert_allclose(float(llg), float(llp), rtol=1e-5)
+        np.testing.assert_allclose(float(qg), float(qp), rtol=1e-5)
+        for a, b in zip(vg, vp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_short_sequences_and_padding(self):
+        # sequences shorter than W must put all mass on r0 in both paths
+        K, W = 2, 8
+        sset = SequenceSet.from_sequences(
+            ["ACGTACGTACGTACGT", "ACG", "ACGTACGTA"]  # one too short
+        )
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+        motif = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=K, f_bg=sset.base_frequencies()
+        )
+        data = prepare_data(sset, bg, K, ss=False)
+        v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
+        alphas = jnp.asarray(motif.alphas, jnp.float32)
+        f_bg = jnp.asarray(motif.f_bg, jnp.float32)
+        kw = dict(A=4, K=K, W=W, optimize_q=False)
+        _, _, llg, _ = em_step(v, 0.9, data, alphas, f_bg, path="gather", **kw)
+        _, _, llp, _ = em_step(v, 0.9, data, alphas, f_bg, path="pallas_interpret", **kw)
+        np.testing.assert_allclose(float(llg), float(llp), rtol=1e-5)

@@ -135,6 +135,58 @@ def em_step(
     return v_new, q_new, ll, v_diff
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("A", "K", "W", "optimize_q", "path", "max_iters"),
+)
+def em_optimize(
+    v: tuple,
+    q: jnp.ndarray,
+    data: dict,
+    alphas: jnp.ndarray,
+    f_bg: jnp.ndarray,
+    n_real: jnp.ndarray,
+    epsilon: jnp.ndarray,
+    *,
+    A: int,
+    K: int,
+    W: int,
+    optimize_q: bool,
+    path: str,
+    max_iters: int,
+):
+    """Whole EM convergence loop as ONE device program (lax.while_loop).
+
+    Zero per-iteration host syncs: the convergence test — parameter change
+    `v_diff < eps` OR likelihood change `|dll| < eps` (the reference's
+    EM::optimize stop rule; the OR keeps f32 runs from hitting the
+    iteration cap, since a sum-of-|dv| over ~10^3 float32 entries floors
+    around 1e-2 while dll keeps shrinking) — runs on device.
+
+    Returns (v, q, ll, v_diff, iterations).
+    """
+
+    def cond(state):
+        v, q, ll_prev, vd, it = state
+        return (it < max_iters) & (vd >= epsilon)
+
+    def body(state):
+        v, q, ll_prev, vd, it = state
+        v2, q2, ll, vd2 = em_step(
+            v, q, data, alphas, f_bg, n_real,
+            A=A, K=K, W=W, optimize_q=optimize_q, path=path,
+        )
+        # fold the dll criterion into the carried v_diff: once either
+        # signal is under epsilon we report a value < epsilon and stop
+        dll = jnp.abs(ll - ll_prev)
+        vd_eff = jnp.minimum(vd2, dll)
+        return (v2, q2, ll, vd_eff, it + 1)
+
+    state = (v, q, jnp.float32(-jnp.inf), jnp.float32(jnp.inf), jnp.int32(0))
+    v, q, ll, vd, it = jax.lax.while_loop(cond, body, state)
+    return v, q, ll, vd, it
+
+
 def choose_path(params: Params, K: int) -> str:
     """Pick the fastest correct data path for this run."""
     if params.use_pallas and jax.default_backend() == "tpu":
@@ -187,20 +239,34 @@ def run_em(
     path = choose_path(params, K)
     ll_hist: list = []
     t0 = time.perf_counter()
-    it, ll, v_diff = 0, float("-inf"), float("inf")
-    converged = False
-    for it in range(1, params.maxEMIterations + 1):
-        v, q, ll_dev, vd_dev = em_step(
-            v, q, data, alphas, f_bg, jnp.asarray(n_real, jnp.float32),
+    nr = jnp.asarray(n_real, jnp.float32)
+    if not verbose:
+        # whole convergence loop in one device program: no per-iteration
+        # host round-trips (the production path)
+        v, q, ll_dev, vd_dev, it_dev = em_optimize(
+            v, q, data, alphas, f_bg, nr, jnp.float32(params.epsilon),
             A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
+            max_iters=params.maxEMIterations,
         )
+        it = int(it_dev)
         ll, v_diff = float(ll_dev), float(vd_dev)
         ll_hist.append(ll)
-        if verbose:
+        converged = v_diff < params.epsilon
+    else:
+        it, ll, v_diff = 0, float("-inf"), float("inf")
+        converged = False
+        for it in range(1, params.maxEMIterations + 1):
+            ll_prev = ll
+            v, q, ll_dev, vd_dev = em_step(
+                v, q, data, alphas, f_bg, nr,
+                A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
+            )
+            ll, v_diff = float(ll_dev), float(vd_dev)
+            ll_hist.append(ll)
             print(f"  EM iter {it:4d}  ll={ll:.4f}  dv={v_diff:.3e}  q={float(q):.4f}")
-        if v_diff < params.epsilon:
-            converged = True
-            break
+            if v_diff < params.epsilon or abs(ll - ll_prev) < params.epsilon:
+                converged = True
+                break
     seconds = time.perf_counter() - t0
 
     motif.v = [np.asarray(vk, np.float64) for vk in v]

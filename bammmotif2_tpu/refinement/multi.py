@@ -76,37 +76,42 @@ def run_em_multi(
             q = jax.device_put(q, seed_sh)
             alphas = jax.device_put(alphas, seed_sh)
 
-        step = _batched_step(A, K, W, params.optimizeQ, choose_path(params, K))
+        loop = _batched_optimize(A, K, W, params.optimizeQ, choose_path(params, K),
+                                 params.maxEMIterations)
         n_win = n_win_1
-        ll_hist: list = []
         t0 = time.perf_counter()
-        it = 0
-        lls = vds = None
         nr = jnp.asarray(n_real, jnp.float32)
-        for it in range(1, params.maxEMIterations + 1):
-            v, q, lls, vds = step(v, q, data, alphas, f_bg, nr)
-            ll_hist.append(np.asarray(lls))
-            if float(jnp.max(vds)) < params.epsilon:
-                break
+        v, q, lls, vds, its = loop(
+            v, q, data, alphas, f_bg, nr, jnp.float32(params.epsilon)
+        )
+        jax.block_until_ready(lls)
         seconds = time.perf_counter() - t0
 
         for gi, i in enumerate(idxs):
             motifs[i].v = [np.asarray(v[k][gi], np.float64) for k in range(K + 1)]
             results[i] = EMResult(
-                iterations=it,
+                iterations=int(its[gi]),
                 ll=float(lls[gi]),
                 q=float(q[gi]),
                 v_diff=float(vds[gi]),
                 converged=float(vds[gi]) < params.epsilon,
-                ll_history=[float(h[gi]) for h in ll_hist],
+                ll_history=[float(lls[gi])],
                 seconds=seconds,
-                windows_scored=n_win * it * len(group),
+                windows_scored=n_win * int(its[gi]),
             )
     return results
 
 
-def _batched_step(A: int, K: int, W: int, optimize_q: bool, path: str = "gather"):
-    """vmap em_step over the seed axis (model batched, data broadcast)."""
+def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
+                      max_iters: int):
+    """Batched on-device EM convergence loop over the seed axis.
+
+    One jitted while_loop for the whole group: every live seed steps in the
+    same batched program (full MXU utilization); a seed whose v_diff OR
+    |dll| drops under epsilon freezes (jnp.where mask) so its final state
+    and iteration count are its own.  The loop exits when all seeds froze
+    or the cap is hit — only then does anything return to host.
+    """
 
     def single(v, q, data, alphas, f_bg, n_real):
         return em_step(
@@ -114,10 +119,43 @@ def _batched_step(A: int, K: int, W: int, optimize_q: bool, path: str = "gather"
             A=A, K=K, W=W, optimize_q=optimize_q, path=path,
         )
 
-    return jax.jit(
-        jax.vmap(
-            single,
-            in_axes=(0, 0, None, 0, None, None),
-            out_axes=(0, 0, 0, 0),
-        )
+    batched = jax.vmap(
+        single, in_axes=(0, 0, None, 0, None, None), out_axes=(0, 0, 0, 0)
     )
+
+    @jax.jit
+    def loop(v, q, data, alphas, f_bg, n_real, epsilon):
+        M = q.shape[0]
+
+        def cond(state):
+            v, q, lls, vds, its = state
+            return (jnp.max(its) < max_iters) & (jnp.max(vds) >= epsilon)
+
+        def body(state):
+            v, q, lls, vds, its = state
+            active = vds >= epsilon
+            v2, q2, ll2, vd2 = batched(v, q, data, alphas, f_bg, n_real)
+            vd_eff = jnp.minimum(vd2, jnp.abs(ll2 - lls))
+
+            def keep(new, old):
+                ax = (slice(None),) + (None,) * (new.ndim - 1)
+                return jnp.where(active[ax], new, old)
+
+            v = tuple(keep(a, b) for a, b in zip(v2, v))
+            return (
+                v,
+                jnp.where(active, q2, q),
+                jnp.where(active, ll2, lls),
+                jnp.where(active, vd_eff, vds),
+                its + active.astype(jnp.int32),
+            )
+
+        state = (
+            v, q,
+            jnp.full((M,), -jnp.inf, jnp.float32),
+            jnp.full((M,), jnp.inf, jnp.float32),
+            jnp.zeros((M,), jnp.int32),
+        )
+        return jax.lax.while_loop(cond, body, state)
+
+    return loop

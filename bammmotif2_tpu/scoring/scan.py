@@ -52,16 +52,32 @@ def score_set(
     Sequences are processed in batches of ``batch`` so genome-scale sets
     (BASELINE config 5: 100k sequences) stream through HBM.
     """
+    import jax
+
     K, W = motif.K, motif.W
+    A = motif.A
     s_flat = log_odds_lut(
         tuple(jnp.asarray(v, jnp.float32) for v in motif.v),
         jnp.asarray(bg.conditional_flat(K), jnp.float32),
     )
+    use_pallas = False
+    if jax.default_backend() == "tpu":
+        from bammmotif2_tpu.ops import pallas_em
+
+        use_pallas = pallas_em.supported(K, A)
+        map5 = jnp.asarray(encode.map_base5_to_combined(A, K))
     chunks, mask_chunks = [], []
     for start in range(0, sset.n, batch):
         sub = sset.subset(np.arange(start, min(start + batch, sset.n)))
-        cidx, lens = encode.strand_indices(sub, K, ss)
-        sc, m = escore.window_scores(s_flat, cidx, lens, W)
+        if use_pallas:
+            qidx = encode.strand_base5_indices(sub, K, ss)
+            lens = jnp.asarray(sub.lens)
+            sc, m = pallas_em.window_scores(
+                s_flat, qidx, lens, map5, A=A, K=K, W=W
+            )
+        else:
+            cidx, lens = encode.strand_indices(sub, K, ss)
+            sc, m = escore.window_scores(s_flat, cidx, lens, W)
         chunks.append(np.asarray(sc))
         mask_chunks.append(np.asarray(m))
     n_win_max = max(c.shape[2] for c in chunks)

@@ -103,3 +103,22 @@ class TestPallasKernelEquivalence:
         _, _, llg, _ = em_step(v, 0.9, data, alphas, f_bg, path="gather", **kw)
         _, _, llp, _ = em_step(v, 0.9, data, alphas, f_bg, path="pallas_interpret", **kw)
         np.testing.assert_allclose(float(llg), float(llp), rtol=1e-5)
+
+
+class TestPallasWindowScores:
+    @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (3, 6)])
+    def test_matches_gather_scores(self, K, W):
+        from bammmotif2_tpu.models.motif import log_odds_lut
+        from bammmotif2_tpu.ops import escore, pallas_em
+
+        v, data, motif = _setup(K, W)
+        s_flat = log_odds_lut(v, data["bg_flat"])
+        sc_g, m_g = escore.window_scores(s_flat, data["cidx"], data["lens"], W)
+        sc_p, m_p = pallas_em.window_scores(
+            s_flat, data["qidx"], data["lens"], data["map5"],
+            A=4, K=K, W=W, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(m_g), np.asarray(m_p))
+        np.testing.assert_allclose(
+            np.asarray(sc_g), np.asarray(sc_p), atol=1e-5
+        )

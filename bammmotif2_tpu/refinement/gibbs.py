@@ -92,16 +92,15 @@ def _log_alpha_posterior(log_alphas, counts, f_bg, default_alphas):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("A", "K", "W", "sample_z", "sample_q", "learn_alpha")
+    jax.jit,
+    static_argnames=("A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path"),
 )
 def gibbs_step(
     v: tuple,
     q,
     log_alphas,
     key,
-    cidx,
-    lens,
-    bg_flat,
+    data: dict,
     f_bg,
     default_alphas,
     *,
@@ -111,12 +110,22 @@ def gibbs_step(
     sample_z: bool,
     sample_q: bool,
     learn_alpha: bool,
+    path: str = "gather",
     alpha_lr: float = 0.05,
 ):
     """One batch-synchronous CGS sweep. Returns new state + diagnostics."""
+    cidx, lens, bg_flat = data["cidx"], data["lens"], data["bg_flat"]
     R = encode.num_rows(A, K)
     s_flat = motif_mod.log_odds_lut(v, bg_flat)
-    scores, mask = escore.window_scores(s_flat, cidx, lens, W)
+    if path.startswith("pallas"):
+        from bammmotif2_tpu.ops import pallas_em
+
+        scores, mask = pallas_em.window_scores(
+            s_flat, data["qidx"], lens, data["map5"],
+            A=A, K=K, W=W, interpret=path == "pallas_interpret",
+        )
+    else:
+        scores, mask = escore.window_scores(s_flat, cidx, lens, W)
     S, N, n_win = scores.shape
 
     n_win_per_seq = S * mask.sum(axis=1)
@@ -164,6 +173,50 @@ def gibbs_step(
     return v_new, q_new, log_alphas, key, ll, n_occ
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path", "n_iters"
+    ),
+)
+def gibbs_optimize(
+    v: tuple,
+    q,
+    log_alphas,
+    key,
+    data: dict,
+    f_bg,
+    default_alphas,
+    *,
+    A: int,
+    K: int,
+    W: int,
+    sample_z: bool,
+    sample_q: bool,
+    learn_alpha: bool,
+    path: str,
+    n_iters: int,
+):
+    """Whole CGS run as one device program (lax.scan over sweeps).
+
+    Returns (v, q, log_alphas, ll_history [n_iters], n_occ_history).
+    """
+
+    def body(carry, _):
+        v, q, la, key = carry
+        v, q, la, key, ll, n_occ = gibbs_step(
+            v, q, la, key, data, f_bg, default_alphas,
+            A=A, K=K, W=W, sample_z=sample_z, sample_q=sample_q,
+            learn_alpha=learn_alpha, path=path,
+        )
+        return (v, q, la, key), (ll, n_occ)
+
+    (v, q, log_alphas, key), (lls, n_occs) = jax.lax.scan(
+        body, (v, q, log_alphas, key), None, length=n_iters
+    )
+    return v, q, log_alphas, lls, n_occs
+
+
 def run_gibbs(
     motif: Motif,
     bg: BackgroundModel,
@@ -176,7 +229,6 @@ def run_gibbs(
     A, K, W = motif.A, motif.K, motif.W
     if data is None:
         data = prepare_data(sset, bg, K, params.ss)
-    cidx, lens, bg_flat = data["cidx"], data["lens"], data["bg_flat"]
 
     v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
     q = jnp.asarray(params.q, jnp.float32)
@@ -185,17 +237,19 @@ def run_gibbs(
     f_bg = jnp.asarray(motif.f_bg, jnp.float32)
     key = jax.random.PRNGKey(params.seed)
 
-    ll_hist = []
+    from bammmotif2_tpu.refinement.em import choose_path
+
     t0 = time.perf_counter()
-    for _ in range(params.maxCGSIterations):
-        v, q, log_alphas, key, ll, _n_occ = gibbs_step(
-            v, q, log_alphas, key, cidx, lens, bg_flat, f_bg, default_alphas,
-            A=A, K=K, W=W,
-            sample_z=not params.noZSampling,
-            sample_q=not params.noQSampling,
-            learn_alpha=not params.noAlphaOptimization,
-        )
-        ll_hist.append(float(ll))
+    v, q, log_alphas, lls, _n_occs = gibbs_optimize(
+        v, q, log_alphas, key, data, f_bg, default_alphas,
+        A=A, K=K, W=W,
+        sample_z=not params.noZSampling,
+        sample_q=not params.noQSampling,
+        learn_alpha=not params.noAlphaOptimization,
+        path=choose_path(params, K),
+        n_iters=params.maxCGSIterations,
+    )
+    ll_hist = [float(x) for x in np.asarray(lls)]
     seconds = time.perf_counter() - t0
 
     motif.v = [np.asarray(vk, np.float64) for vk in v]

@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false", default=True)
+    p.add_argument(
+        "--single-device", dest="multiDevice", action="store_false", default=True
+    )
     return p
 
 
@@ -214,7 +217,20 @@ def run_pipeline(params: Params, mesh=None) -> dict:
 
 def main(argv=None) -> int:
     params = params_from_args(sys.argv[1:] if argv is None else argv)
-    run_pipeline(params)
+    mesh = None
+    if params.multiDevice:
+        from bammmotif2_tpu.parallel import distributed
+
+        distributed.initialize()
+        mesh = distributed.auto_mesh(n_seeds=params.maxPWM or 1)
+        if params.verbose and mesh is not None:
+            import jax
+
+            print(
+                f"mesh {dict(mesh.shape)} over {jax.device_count()} devices "
+                f"({jax.process_count()} hosts)"
+            )
+    run_pipeline(params, mesh=mesh)
     return 0
 
 

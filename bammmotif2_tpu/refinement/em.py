@@ -187,8 +187,14 @@ def em_optimize(
     return v, q, ll, vd, it
 
 
-def choose_path(params: Params, K: int) -> str:
-    """Pick the fastest correct data path for this run."""
+def choose_path(params: Params, K: int, sharded: bool = False) -> str:
+    """Pick the fastest correct data path for this run.
+
+    ``sharded``: GSPMD cannot auto-partition pallas_call, so mesh runs
+    take the XLA gather path until the shard_map wrapper lands.
+    """
+    if sharded:
+        return "gather"
     if params.use_pallas and jax.default_backend() == "tpu":
         from bammmotif2_tpu.ops import pallas_em
 
@@ -236,7 +242,7 @@ def run_em(
 
         v, q, alphas, f_bg = mesh_mod.replicate(mesh, (v, q, alphas, f_bg))
 
-    path = choose_path(params, K)
+    path = choose_path(params, K, sharded=mesh is not None)
     ll_hist: list = []
     t0 = time.perf_counter()
     nr = jnp.asarray(n_real, jnp.float32)

@@ -81,6 +81,7 @@ class Params:
     # --- TPU-native extensions (absent in reference) -------------------- #
     seed: int = 42                          # PRNG seed for jax.random
     use_pallas: bool = True                 # fused Pallas EM kernel when possible
+    multiDevice: bool = True                # shard over all devices/hosts if >1
     data_axis: str = "data"                 # mesh axis name for sequence sharding
 
     def alpha_for_order(self, k: int) -> float:

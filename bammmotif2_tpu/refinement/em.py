@@ -75,7 +75,7 @@ def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool) -> di
 
 
 @functools.partial(
-    jax.jit, static_argnames=("A", "K", "W", "optimize_q", "path")
+    jax.jit, static_argnames=("A", "K", "W", "optimize_q", "path", "mesh")
 )
 def em_step(
     v: tuple,
@@ -90,6 +90,7 @@ def em_step(
     W: int,
     optimize_q: bool,
     path: str = "gather",
+    mesh=None,
 ):
     """One fused EM iteration. Returns (v_new, q_new, ll, v_diff).
 
@@ -100,12 +101,37 @@ def em_step(
     unsharded runs agree.
 
     ``path``: 'gather' (XLA, any K), 'pallas' (fused TPU kernel, K <= 3),
-    or 'pallas_interpret' (kernel correctness mode on CPU).
+    'pallas_shard' (the kernel per data-axis shard inside shard_map, with
+    an explicit psum count merge — requires ``mesh``), or the
+    '*_interpret' variants (kernel correctness mode on CPU).
     """
     R = encode.num_rows(A, K)
     lens = data["lens"]
     s_flat = motif_mod.log_odds_lut(v, data["bg_flat"])
-    if path.startswith("pallas"):
+    if path.startswith("pallas_shard"):
+        from jax.sharding import PartitionSpec as P
+
+        from bammmotif2_tpu.ops import pallas_em
+
+        shard_map = jax.shard_map
+
+        interp = path.endswith("interpret")
+
+        def per_shard(qidx_s, lens_s, q_s, s_flat_s, map5_s):
+            C, ll = pallas_em.em_counts(
+                s_flat_s, qidx_s, lens_s, q_s, map5_s,
+                A=A, K=K, W=W, R=R, interpret=interp,
+            )
+            return jax.lax.psum(C, "data"), jax.lax.psum(ll, "data")
+
+        C, ll = shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(None, "data", None), P("data"), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # pallas_call outs carry no vma annotation
+        )(data["qidx"], lens, q, s_flat, data["map5"])
+    elif path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 
         C, ll = pallas_em.em_counts(
@@ -137,7 +163,7 @@ def em_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("A", "K", "W", "optimize_q", "path", "max_iters"),
+    static_argnames=("A", "K", "W", "optimize_q", "path", "max_iters", "mesh"),
 )
 def em_optimize(
     v: tuple,
@@ -154,6 +180,7 @@ def em_optimize(
     optimize_q: bool,
     path: str,
     max_iters: int,
+    mesh=None,
 ):
     """Whole EM convergence loop as ONE device program (lax.while_loop).
 
@@ -174,7 +201,7 @@ def em_optimize(
         v, q, ll_prev, vd, it = state
         v2, q2, ll, vd2 = em_step(
             v, q, data, alphas, f_bg, n_real,
-            A=A, K=K, W=W, optimize_q=optimize_q, path=path,
+            A=A, K=K, W=W, optimize_q=optimize_q, path=path, mesh=mesh,
         )
         # fold the dll criterion into the carried v_diff: once either
         # signal is under epsilon we report a value < epsilon and stop
@@ -190,16 +217,15 @@ def em_optimize(
 def choose_path(params: Params, K: int, sharded: bool = False) -> str:
     """Pick the fastest correct data path for this run.
 
-    ``sharded``: GSPMD cannot auto-partition pallas_call, so mesh runs
-    take the XLA gather path until the shard_map wrapper lands.
+    ``sharded``: GSPMD cannot auto-partition pallas_call, so sharded runs
+    use 'pallas_shard' — the kernel per data shard inside shard_map with
+    an explicit psum count merge.
     """
-    if sharded:
-        return "gather"
     if params.use_pallas and jax.default_backend() == "tpu":
         from bammmotif2_tpu.ops import pallas_em
 
         if pallas_em.supported(K):
-            return "pallas"
+            return "pallas_shard" if sharded else "pallas"
     return "gather"
 
 
@@ -252,7 +278,7 @@ def run_em(
         v, q, ll_dev, vd_dev, it_dev = em_optimize(
             v, q, data, alphas, f_bg, nr, jnp.float32(params.epsilon),
             A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
-            max_iters=params.maxEMIterations,
+            max_iters=params.maxEMIterations, mesh=mesh,
         )
         it = int(it_dev)
         ll, v_diff = float(ll_dev), float(vd_dev)
@@ -266,6 +292,7 @@ def run_em(
             v, q, ll_dev, vd_dev = em_step(
                 v, q, data, alphas, f_bg, nr,
                 A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
+                mesh=mesh,
             )
             ll, v_diff = float(ll_dev), float(vd_dev)
             ll_hist.append(ll)

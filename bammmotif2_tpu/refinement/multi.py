@@ -76,7 +76,10 @@ def run_em_multi(
             q = jax.device_put(q, seed_sh)
             alphas = jax.device_put(alphas, seed_sh)
 
-        loop = _batched_optimize(A, K, W, params.optimizeQ, choose_path(params, K, sharded=mesh is not None),
+        # sharded multi-seed stays on the GSPMD gather path: vmap over the
+        # seed axis around a data-axis shard_map is not composed here yet
+        path = "gather" if mesh is not None else choose_path(params, K)
+        loop = _batched_optimize(A, K, W, params.optimizeQ, path,
                                  params.maxEMIterations)
         n_win = n_win_1
         t0 = time.perf_counter()

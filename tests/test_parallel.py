@@ -113,3 +113,38 @@ class TestGraftEntry:
 
         ge.dryrun_multichip(8)
         assert "dryrun_multichip OK" in capsys.readouterr().out
+
+
+class TestShardedPallas:
+    def test_pallas_shard_matches_gather(self, planted):
+        """shard_map'd Pallas kernel (interpret) == unsharded gather path."""
+        import jax.numpy as jnp
+
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.ops import encode
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
+        from bammmotif2_tpu.refinement.em import em_step, prepare_data
+
+        sset, bg = planted
+        motif = seed_motif(sset)
+        K, W = motif.K, motif.W
+        data = prepare_data(sset, bg, K, ss=False)
+        v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
+        alphas = jnp.asarray(motif.alphas, jnp.float32)
+        f_bg = jnp.asarray(motif.f_bg, jnp.float32)
+        q = jnp.asarray(0.9, jnp.float32)
+        nr = jnp.asarray(float(sset.n), jnp.float32)
+        kw = dict(A=4, K=K, W=W, optimize_q=True)
+
+        vg, qg, llg, vdg = em_step(v, q, data, alphas, f_bg, nr, path="gather", **kw)
+
+        mesh = mesh_mod.make_mesh(n_data=8, n_seed=1)
+        sdata = mesh_mod.shard_em_data(mesh, data, encode.num_rows(4, K))
+        vp, qp, llp, vdp = em_step(
+            v, q, sdata, alphas, f_bg, nr,
+            path="pallas_shard_interpret", mesh=mesh, **kw
+        )
+        np.testing.assert_allclose(float(llg), float(llp), rtol=1e-5)
+        np.testing.assert_allclose(float(qg), float(qp), rtol=1e-5)
+        for a, b in zip(vg, vp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -214,7 +214,7 @@ def em_optimize(
     return v, q, ll, vd, it
 
 
-def choose_path(params: Params, K: int, sharded: bool = False) -> str:
+def choose_path(params: Params, K: int, sharded: bool = False, A: int = 4) -> str:
     """Pick the fastest correct data path for this run.
 
     ``sharded``: GSPMD cannot auto-partition pallas_call, so sharded runs
@@ -224,7 +224,7 @@ def choose_path(params: Params, K: int, sharded: bool = False) -> str:
     if params.use_pallas and jax.default_backend() == "tpu":
         from bammmotif2_tpu.ops import pallas_em
 
-        if pallas_em.supported(K):
+        if pallas_em.supported(K, A):
             return "pallas_shard" if sharded else "pallas"
     return "gather"
 
@@ -268,7 +268,7 @@ def run_em(
 
         v, q, alphas, f_bg = mesh_mod.replicate(mesh, (v, q, alphas, f_bg))
 
-    path = choose_path(params, K, sharded=mesh is not None)
+    path = choose_path(params, K, sharded=mesh is not None, A=A)
     ll_hist: list = []
     t0 = time.perf_counter()
     nr = jnp.asarray(n_real, jnp.float32)

@@ -246,7 +246,7 @@ def run_gibbs(
         sample_z=not params.noZSampling,
         sample_q=not params.noQSampling,
         learn_alpha=not params.noAlphaOptimization,
-        path=choose_path(params, K),
+        path=choose_path(params, K, A=A),
         n_iters=params.maxCGSIterations,
     )
     ll_hist = [float(x) for x in np.asarray(lls)]

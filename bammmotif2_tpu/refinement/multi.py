@@ -78,7 +78,7 @@ def run_em_multi(
 
         # sharded multi-seed stays on the GSPMD gather path: vmap over the
         # seed axis around a data-axis shard_map is not composed here yet
-        path = "gather" if mesh is not None else choose_path(params, K)
+        path = "gather" if mesh is not None else choose_path(params, K, A=A)
         loop = _batched_optimize(A, K, W, params.optimizeQ, path,
                                  params.maxEMIterations)
         n_win = n_win_1

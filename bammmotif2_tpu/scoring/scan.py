@@ -28,11 +28,30 @@ from bammmotif2_tpu.utils.fasta import SequenceSet
 
 @dataclasses.dataclass
 class ScanResult:
-    scores: np.ndarray      # [S, N, n_win] log-odds (NEG_INF invalid)
-    mask: np.ndarray        # [N, n_win]
+    """Per-window scores; stays device-resident until a host view is asked.
+
+    Device->host traffic is the scanner's real cost at genome scale (the
+    score tensor is ~40x the input), so ZOOPS maxima, p-values, and
+    occurrence extraction all reduce ON DEVICE; only reductions and hit
+    rows cross to the host.
+    """
+
+    scores_dev: object      # jnp [S, N, n_win] log-odds (NEG_INF invalid)
+    mask_dev: object        # jnp bool [N, n_win]
     max_scores: np.ndarray  # [N] best window per sequence (ZOOPS statistic)
     n_windows: int          # total valid windows scanned
     W: int
+    _scores_host: np.ndarray | None = None
+
+    @property
+    def scores(self) -> np.ndarray:
+        if self._scores_host is None:
+            self._scores_host = np.asarray(self.scores_dev)
+        return self._scores_host
+
+    @property
+    def mask(self) -> np.ndarray:
+        return np.asarray(self.mask_dev)
 
     def all_window_scores(self) -> np.ndarray:
         """Valid per-window scores pooled over strands (MOPS statistic)."""
@@ -45,7 +64,7 @@ def score_set(
     bg: BackgroundModel,
     sset: SequenceSet,
     ss: bool = False,
-    batch: int = 4096,
+    batch: int = 16384,
 ) -> ScanResult:
     """Log-odds-score every window of every sequence (ScoreSeqSet::calcLogOdds).
 
@@ -78,23 +97,27 @@ def score_set(
         else:
             cidx, lens = encode.strand_indices(sub, K, ss)
             sc, m = escore.window_scores(s_flat, cidx, lens, W)
-        chunks.append(np.asarray(sc))
-        mask_chunks.append(np.asarray(m))
+        chunks.append(sc)
+        mask_chunks.append(m)
     n_win_max = max(c.shape[2] for c in chunks)
     S = chunks[0].shape[0]
-    scores = np.full((S, sset.n, n_win_max), escore.NEG_INF, np.float32)
-    mask = np.zeros((sset.n, n_win_max), bool)
-    row = 0
-    for sc, m in zip(chunks, mask_chunks):
-        scores[:, row : row + sc.shape[1], : sc.shape[2]] = sc
-        mask[row : row + m.shape[0], : m.shape[1]] = m
-        row += sc.shape[1]
-    max_scores = scores.max(axis=(0, 2))
+
+    def padw(x, fill):
+        p = n_win_max - x.shape[-1]
+        if p == 0:
+            return x
+        cfg = [(0, 0)] * (x.ndim - 1) + [(0, p)]
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    scores = jnp.concatenate([padw(c, escore.NEG_INF) for c in chunks], axis=1)
+    mask = jnp.concatenate([padw(m, False) for m in mask_chunks], axis=0)
+    max_scores = np.asarray(jnp.max(scores, axis=(0, 2)))  # N floats only
+    n_valid = int(mask.sum()) * S
     return ScanResult(
-        scores=scores,
-        mask=mask,
+        scores_dev=scores,
+        mask_dev=mask,
         max_scores=max_scores,
-        n_windows=int(mask.sum()) * S,
+        n_windows=n_valid,
         W=W,
     )
 
@@ -146,13 +169,28 @@ def find_occurrences(
     (start = len - W - i for rc-window start i), matching the reference's
     convention of scanning the appended reverse complement.
     """
-    S, N, n_win = scan.scores.shape
+    sc = scan.scores_dev
+    S, N, n_win = sc.shape
     W = scan.W
-    pv = empirical_pvalues(scan.scores, neg_scores)
+    # p-values + thresholding on device; only hit rows cross to host
+    neg = jnp.sort(jnp.asarray(neg_scores, jnp.float32))
+    M = int(neg.size)
+    lo = jnp.searchsorted(neg, sc, side="left")
+    hi = jnp.searchsorted(neg, sc, side="right")
+    frac = jnp.where(hi > lo, 0.5 * (lo + hi), lo).astype(jnp.float32)
+    pv_dev = jnp.clip((M - frac + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
+    valid = jnp.broadcast_to(scan.mask_dev[None], sc.shape)
+    hitmask = (valid & (pv_dev <= pval_cutoff)).ravel()
+    n_hits = int(hitmask.sum())
+    if n_hits == 0:
+        return []
+    flat = jnp.nonzero(hitmask, size=n_hits)[0]
+    hit_scores = np.asarray(sc.ravel()[flat])
+    hit_pv = np.asarray(pv_dev.ravel()[flat])
+    s_i, n_i, i_i = np.unravel_index(np.asarray(flat), (S, N, n_win))
+
     occs: list = []
-    valid = np.broadcast_to(scan.mask[None], scan.scores.shape)
-    hits = np.argwhere(valid & (pv <= pval_cutoff))
-    for s, n, i in hits:
+    for s, n, i, score, p in zip(s_i, n_i, i_i, hit_scores, hit_pv):
         L = int(sset.lens[n])
         if s == 0:
             start, strand = int(i), "+"
@@ -171,9 +209,9 @@ def find_occurrences(
                 start=start,
                 end=start + W,
                 site=site,
-                score=float(scan.scores[s, n, i]),
-                pvalue=float(pv[s, n, i]),
-                evalue=float(pv[s, n, i] * scan.n_windows),
+                score=float(score),
+                pvalue=float(p),
+                evalue=float(p * scan.n_windows),
             )
         )
     occs.sort(key=lambda o: (o.seq_idx, o.start, o.strand))

@@ -215,8 +215,26 @@ def run_pipeline(params: Params, mesh=None) -> dict:
     return out
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: TPU compiles are 20-40 s each and a
+    full --EM --FDR --scoreSeqset pipeline traces ~10 distinct shapes, so
+    repeat runs on the same input sizes start hot."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "BAMM_XLA_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "bammmotif2_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def main(argv=None) -> int:
     params = params_from_args(sys.argv[1:] if argv is None else argv)
+    _enable_compilation_cache()
     mesh = None
     if params.multiDevice:
         from bammmotif2_tpu.parallel import distributed

@@ -148,13 +148,15 @@ def read_fasta(
         headers, seqs = _parse_fasta_text(path.read())
         return SequenceSet.from_sequences(seqs, headers, alphabet)
 
-    if use_native and alphabet.name == "STANDARD":
+    if use_native:
         try:
             from bammmotif2_tpu.io import native
 
-            parsed = native.read_fasta_encoded(os.fspath(path))
+            parsed = native.read_fasta_encoded(os.fspath(path), alphabet)
             if parsed is not None:
                 codes, lens, headers = parsed
+                if not headers:
+                    raise ValueError(f"no sequences found in FASTA file {path!r}")
                 return SequenceSet(codes=codes, lens=lens, headers=headers, alphabet=alphabet)
         except ImportError:
             pass

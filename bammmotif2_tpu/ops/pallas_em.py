@@ -26,6 +26,15 @@ cross-sequence traffic at all:
   * ZOOPS posterior: per-row max / exp / sum / divide             (VPU)
   * M-step counts  C5 += oh_b @ Rw_b^T, Rw_b[j, i] = r[b, i-j]    (MXU)
 
+High orders (hi/lo digit split): a full one-hot over Q = (A+1)^(K+1) rows
+stops fitting VMEM past K = 3, so the code is split as
+``c = c_hi * Qlo + c_lo`` with Qlo = (A+1)^dlo <= 640 (dlo most-recent
+bases) and Qhi = Q / Qlo (the oldest bases, <= 25 for A=4, K=5).  Only the
+LOW one-hot is materialized and contracted on the MXU against the LUT
+regrouped as (Qlo, Qhi*W); the few hi values then resolve as VPU masked
+accumulates ``P[b, j] = sum_h V[h*W+j] * [c_hi == h]`` (and transposed for
+counts).  K <= 3 degenerates to Qhi = 1 and skips the mask entirely.
+
 Matmul precision: the MXU is bf16; instead of ``Precision.HIGHEST`` (6
 bf16 passes emulating fp32 x fp32) the f32 operand is split into bf16
 residual terms and multiplied against the EXACT bf16 one-hot — 3 terms
@@ -35,8 +44,7 @@ rounding of the posterior normalization either way.
 
 HBM traffic per iteration ~= one read of the int32 code tensor.  Counts
 return in the base-(A+1) space and are folded to combined rows with one
-tiny segment-sum.  Supported for K <= 3 ((A+1)^(K+1) <= 640); higher
-orders use the XLA path.
+tiny segment-sum.
 
 Parity: produces equivalent-to-tolerance counts/likelihood vs ops.escore
 (<= 1e-5; asserted in tests/test_pallas_em.py and on-device).
@@ -58,6 +66,8 @@ from bammmotif2_tpu.ops.escore import NEG_INF
 LANE = 128
 SUBLANE = 8
 MAX_B = 64  # larger blocks exceed v5e VMEM (2 scratch (B, Wp, SLp) tensors)
+MAX_QLO = 640  # rows of the materialized low-digit one-hot
+MAX_QHI = 32  # hi values resolved by VPU masked accumulation
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in-kernel temporaries to aim for
 
 NT_SCORES = 3  # bf16 split terms for the E-step matmul (3 == full f32)
@@ -68,15 +78,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _hi_lo(K: int, A: int) -> tuple[int, int]:
+    """(Qlo, Qhi) digit-group sizes for base A+1, K+1 digits."""
+    base = A + 1
+    dlo = K + 1
+    while base**dlo > MAX_QLO:
+        dlo -= 1
+    Qlo = base**dlo
+    Qhi = base ** (K + 1 - dlo)
+    return Qlo, Qhi
+
+
 def supported(K: int, A: int = 4) -> bool:
-    return (A + 1) ** (K + 1) <= 640
+    Qlo, Qhi = _hi_lo(K, A)
+    return Qhi <= MAX_QHI
 
 
-def _block_seqs(SLp: int, Wp: int) -> int:
+def _block_seqs(SLp: int, Wp: int, fixed_bytes: int) -> int:
     """Sequences per block: two (B, Wp, SLp) f32 scratches plus ~8 (B, SLp)
-    f32 row temporaries must fit the VMEM budget."""
+    f32 row temporaries, on top of the fixed per-block tensors (one-hot,
+    V/RH scratch, LUT)."""
     per_seq = SLp * (8 * Wp + 32)
-    return max(1, min(MAX_B, _VMEM_BUDGET // per_seq))
+    avail = max(_VMEM_BUDGET - fixed_bytes, per_seq)
+    return max(1, min(MAX_B, avail // per_seq))
 
 
 def _split_terms(x, n):
@@ -103,18 +127,61 @@ def _split_dot(other_f32, exact_bf16, dims, nterms):
     return out
 
 
-def _onehot_row(codes, b, Qp, SLp):
-    """(Qp, SLp) bf16 transposed one-hot of sequence row b (VMEM-only)."""
+def _onehot_row(codes_row, Qp, SLp):
+    """(Qp, SLp) bf16 transposed one-hot of one (1, SLp) code row."""
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (Qp, SLp), 0)
-    return (
-        iota_q == jnp.broadcast_to(codes[b : b + 1, :], (Qp, SLp))
-    ).astype(jnp.bfloat16)
+    return (iota_q == jnp.broadcast_to(codes_row, (Qp, SLp))).astype(
+        jnp.bfloat16
+    )
+
+
+def _row_of(qcodes_ref, b):
+    """(1, SLp) code row b read from the (1, B, SLp) block ref; b may be a
+    traced fori_loop index (Mosaic lowers dynamic ref slices, but not
+    dynamic_slice on loaded arrays)."""
+    return qcodes_ref[0, pl.ds(b, 1), :]
+
+
+def _escore_row(codes_row, s5_ref, *, Qhi, Qlo, QloP, W, Wp, SLp):
+    """E-step scores for one (1, SLp) code row: (Wp, SLp) position scores.
+
+    s5_ref holds the LUT regrouped as (QloP, Qhi*Wp):
+    s5g[l, h*Wp + j] = s5[h*Qlo + l, j].
+    """
+    lo = jax.lax.rem(codes_row, Qlo) if Qhi > 1 else codes_row
+    oh_lo = _onehot_row(lo, QloP, SLp)
+    V = _split_dot(s5_ref[:], oh_lo, (((0,), (0,)), ((), ())), NT_SCORES)
+    if Qhi == 1:
+        return V  # (Wp, SLp)
+    hi = jax.lax.div(codes_row, Qlo)  # (1, SLp)
+    P = jnp.zeros((Wp, SLp), jnp.float32)
+    for h in range(Qhi):
+        mask_h = (hi == h).astype(jnp.float32)  # (1, SLp)
+        P = P + V[h * Wp : (h + 1) * Wp, :] * mask_h
+    return P
+
+
+def _mstep_row(codes_row, rw_b, C5_ref, *, Qhi, Qlo, QloP, Wp, SLp):
+    """Accumulate counts for one row: C5_ref (QloP, Qhi*Wp) += oh_lo @ RH^T
+    where RH[h*Wp + j, i] = rw_b[j, i] * [c_hi == h]."""
+    lo = jax.lax.rem(codes_row, Qlo) if Qhi > 1 else codes_row
+    oh_lo = _onehot_row(lo, QloP, SLp)
+    if Qhi == 1:
+        RH = rw_b  # (Wp, SLp)
+    else:
+        hi = jax.lax.div(codes_row, Qlo)
+        parts = []
+        for h in range(Qhi):
+            mask_h = (hi == h).astype(jnp.float32)
+            parts.append(rw_b * mask_h)
+        RH = jnp.concatenate(parts, axis=0)  # (Qhi*Wp, SLp)
+    C5_ref[:] += _split_dot(RH, oh_lo, (((1,), (1,)), ((), ())), NT_COUNTS).T
 
 
 def _kernel(
     q_ref, qcodes_ref, lens_ref, s5_ref, ipos_ref,
     C5_ref, stats_ref, P3, rw3,
-    *, B, S, W, SLp, Qp, Wp,
+    *, B, S, W, SLp, Qlo, Qhi, QloP, Wp,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -126,12 +193,25 @@ def _kernel(
 
     q = q_ref[0, 0]
     log_r0 = jnp.log1p(-q)
-    codes = qcodes_ref[0]  # (B, SLp) int32
 
-    # E-step scores per row: P3[b, j, i] = s5[code[b, i], j]
-    for b in range(B):
-        oh_b = _onehot_row(codes, b, Qp, SLp)
-        P3[b] = _split_dot(s5_ref[:], oh_b, (((0,), (0,)), ((), ())), NT_SCORES)
+    # E-step scores per row: P3[b, j, i] = s5[code[b, i], j].
+    # Qhi == 1 (K <= 3): Python-unrolled — Mosaic pipelines the per-row
+    # matmuls (2.4x the fori_loop's throughput) and the per-row temporaries
+    # are small enough to stack.  Qhi > 1: fori_loop — the hi/lo masked
+    # temporaries are ~10x larger and an unrolled stack overflows VMEM.
+    def e_body(b, _):
+        P = _escore_row(
+            _row_of(qcodes_ref, b), s5_ref,
+            Qhi=Qhi, Qlo=Qlo, QloP=QloP, W=W, Wp=Wp, SLp=SLp,
+        )
+        P3[pl.ds(b, 1), :, :] = P.reshape(1, Wp, SLp)
+        return 0
+
+    if Qhi == 1:
+        for b in range(B):
+            e_body(b, 0)
+    else:
+        jax.lax.fori_loop(0, B, e_body, 0)
 
     # window scores sc[b, i] = sum_j P3[b, j, i + j]; lane rolls wrap within
     # the row, which is harmless: wrapped windows fail the i + W <= len mask
@@ -158,25 +238,42 @@ def _kernel(
     # M-step: rw3[b, j, i] = r[b, i - j]; rows W..Wp stay zero
     for j in range(W):
         rw3[:, j, :] = pltpu.roll(r, j, axis=1)
-    for b in range(B):
-        oh_b = _onehot_row(codes, b, Qp, SLp)
-        C5_ref[:] += _split_dot(
-            rw3[b], oh_b, (((1,), (1,)), ((), ())), NT_COUNTS
-        ).T
+
+    def m_body(b, _):
+        rw_b = rw3[pl.ds(b, 1), :, :].reshape(Wp, SLp)
+        _mstep_row(
+            _row_of(qcodes_ref, b), rw_b, C5_ref,
+            Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp,
+        )
+        return 0
+
+    if Qhi == 1:
+        for b in range(B):
+            m_body(b, 0)
+    else:
+        jax.lax.fori_loop(0, B, m_body, 0)
 
     stats_ref[0, 0] += jnp.sum(logz)
     stats_ref[0, 1] += jnp.sum(r)
 
 
-def _prep(qidx, lens, A, K, W):
-    """Shared block layout: (n_blocks, B, SLp) codes + per-block lens."""
-    S, N, L = qidx.shape
+def _geometry(A, K, W, S, L):
     Q = (A + 1) ** (K + 1)
-    Qp = _round_up(Q, LANE)
+    Qlo, Qhi = _hi_lo(K, A)
+    QloP = _round_up(Qlo, LANE)
     Wp = _round_up(W, SUBLANE)
     SLp = _round_up(S * L, LANE)
-    B = _block_seqs(SLp, Wp)
-    sentinel = Q - 1  # all digits == A -> maps to the zero-score sentinel row
+    # fixed per-block VMEM: low one-hot (bf16) + V/RH scratch + regrouped LUT
+    fixed = QloP * SLp * 2 + 2 * (Qhi * Wp) * SLp * 4 + QloP * (Qhi * Wp) * 4
+    B = _block_seqs(SLp, Wp, fixed)
+    return dict(Q=Q, Qlo=Qlo, Qhi=Qhi, QloP=QloP, Wp=Wp, SLp=SLp, B=B)
+
+
+def _prep(qidx, lens, g):
+    """Shared block layout: (n_blocks, B, SLp) codes + per-block lens."""
+    S, N, L = qidx.shape
+    SLp, B = g["SLp"], g["B"]
+    sentinel = g["Q"] - 1  # all digits == A -> the zero-score sentinel row
 
     qn = jnp.moveaxis(qidx, 0, 1).reshape(N, S * L)
     qn = jnp.pad(qn, ((0, 0), (0, SLp - S * L)), constant_values=sentinel)
@@ -199,15 +296,25 @@ def _prep(qidx, lens, A, K, W):
         [np.tile(np.arange(L, dtype=np.int32), S),
          np.full(SLp - S * L, 1 << 28, np.int32)]
     ).reshape(1, SLp)
-    return qblk, lens_blk, jnp.asarray(ipos), dict(
-        S=S, N=N, L=L, Q=Q, Qp=Qp, Wp=Wp, SLp=SLp, B=B, pad=pad,
-        n_blocks=n_blocks,
-    )
+    return qblk, lens_blk, jnp.asarray(ipos), pad, n_blocks
 
 
-def _padded_lut(s_flat, map5, Q, Qp, W, Wp):
+def _grouped_lut(s_flat, map5, W, g):
+    """LUT rows regrouped by (lo, hi*W): s5g[l, h*Wp + j] = s5[h*Qlo+l, j]."""
+    Q, Qlo, Qhi, QloP, Wp = g["Q"], g["Qlo"], g["Qhi"], g["QloP"], g["Wp"]
     s5 = s_flat[map5]  # [Q, W]
-    return jnp.pad(s5, ((0, Qp - Q), (0, Wp - W))).astype(jnp.float32)
+    s5 = jnp.pad(s5, ((0, 0), (0, Wp - W)))  # [Q, Wp]
+    s5g = s5.reshape(Qhi, Qlo, Wp).transpose(1, 0, 2).reshape(Qlo, Qhi * Wp)
+    return jnp.pad(s5g, ((0, QloP - Qlo), (0, 0))).astype(jnp.float32)
+
+
+def _ungroup_counts(C5g, W, g):
+    """(QloP, Qhi*Wp) kernel counts -> (Q, W) base-(A+1) count rows."""
+    Qlo, Qhi, Wp = g["Qlo"], g["Qhi"], g["Wp"]
+    C = C5g[:Qlo].reshape(Qlo, Qhi, Wp).transpose(1, 0, 2).reshape(
+        Qhi * Qlo, Wp
+    )
+    return C[:, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "R", "interpret"))
@@ -235,29 +342,32 @@ def em_counts(
 
     Returns (C [R+1, W] combined fractional counts, ll scalar).
     """
-    qblk, lens_blk, ipos, d = _prep(qidx, lens, A, K, W)
-    Qp, Wp, SLp, B = d["Qp"], d["Wp"], d["SLp"], d["B"]
-    s5 = _padded_lut(s_flat, map5, d["Q"], Qp, W, Wp)
+    S, N, L = qidx.shape
+    g = _geometry(A, K, W, S, L)
+    qblk, lens_blk, ipos, pad, n_blocks = _prep(qidx, lens, g)
+    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
+    s5g = _grouped_lut(s_flat, map5, W, g)
 
     kernel = functools.partial(
-        _kernel, B=B, S=d["S"], W=W, SLp=SLp, Qp=Qp, Wp=Wp
+        _kernel, B=B, S=S, W=W, SLp=SLp,
+        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp,
     )
-    C5, stats = pl.pallas_call(
+    C5g, stats = pl.pallas_call(
         kernel,
-        grid=(d["n_blocks"],),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Qp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QloP, Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SLp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Qp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QloP, Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Qp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((QloP, Qhi * Wp), jnp.float32),
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ],
         scratch_shapes=[
@@ -269,23 +379,37 @@ def em_counts(
         jnp.asarray(q, jnp.float32).reshape(1, 1),
         qblk,
         lens_blk,
-        s5,
+        s5g,
         ipos,
     )
 
-    C = jax.ops.segment_sum(C5[: d["Q"], :W], map5, num_segments=R + 1)
-    ll = stats[0, 0] - jnp.float32(d["pad"]) * jnp.log1p(
+    C5 = _ungroup_counts(C5g, W, g)  # (Q, W)
+    C = jax.ops.segment_sum(C5, map5, num_segments=R + 1)
+    ll = stats[0, 0] - jnp.float32(pad) * jnp.log1p(
         -jnp.asarray(q, jnp.float32)
     )
     return C, ll
 
 
-def _scores_kernel(qcodes_ref, s5_ref, sc_ref, P3, *, B, W, SLp, Qp, Wp):
+def _scores_kernel(
+    qcodes_ref, s5_ref, sc_ref, P3,
+    *, B, W, SLp, Qlo, Qhi, QloP, Wp,
+):
     """Scores-only variant of _kernel: window log-odds, no posterior."""
-    codes = qcodes_ref[0]  # (B, SLp)
-    for b in range(B):
-        oh_b = _onehot_row(codes, b, Qp, SLp)
-        P3[b] = _split_dot(s5_ref[:], oh_b, (((0,), (0,)), ((), ())), NT_SCORES)
+
+    def e_body(b, _):
+        P = _escore_row(
+            _row_of(qcodes_ref, b), s5_ref,
+            Qhi=Qhi, Qlo=Qlo, QloP=QloP, W=W, Wp=Wp, SLp=SLp,
+        )
+        P3[pl.ds(b, 1), :, :] = P.reshape(1, Wp, SLp)
+        return 0
+
+    if Qhi == 1:  # unroll/loop trade-off: see _kernel
+        for b in range(B):
+            e_body(b, 0)
+    else:
+        jax.lax.fori_loop(0, B, e_body, 0)
     sc = P3[:, 0, :]
     for j in range(1, W):
         sc = sc + pltpu.roll(P3[:, j, :], (SLp - j) % SLp, axis=1)
@@ -314,32 +438,34 @@ def window_scores(
     from bammmotif2_tpu.ops import escore
 
     S, N, L = qidx.shape
-    qblk, _, _, d = _prep(qidx, None, A, K, W)
-    Qp, Wp, SLp, B = d["Qp"], d["Wp"], d["SLp"], d["B"]
-    s5 = _padded_lut(s_flat, map5, d["Q"], Qp, W, Wp)
+    g = _geometry(A, K, W, S, L)
+    qblk, _, _, pad, n_blocks = _prep(qidx, None, g)
+    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
+    s5g = _grouped_lut(s_flat, map5, W, g)
 
     kernel = functools.partial(
-        _scores_kernel, B=B, W=W, SLp=SLp, Qp=Qp, Wp=Wp
+        _scores_kernel, B=B, W=W, SLp=SLp,
+        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp,
     )
     sc, = pl.pallas_call(
         kernel,
-        grid=(d["n_blocks"],),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Qp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QloP, Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((d["n_blocks"], B, SLp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n_blocks, B, SLp), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, Wp, SLp), jnp.float32)],
         interpret=interpret,
-    )(qblk, s5)
+    )(qblk, s5g)
 
     n_win = L - W + 1
     # each row's first S*L lanes are strand-major [S, L]
-    rows = sc.reshape(d["n_blocks"] * B, SLp)[:N]       # [N, SLp]
-    sc_sl = rows[:, : S * L].reshape(N, S, L)           # [N, S, L]
-    scores = jnp.moveaxis(sc_sl, 1, 0)[:, :, :n_win]    # [S, N, n_win]
+    rows = sc.reshape(n_blocks * B, SLp)[:N]       # [N, SLp]
+    sc_sl = rows[:, : S * L].reshape(N, S, L)      # [N, S, L]
+    scores = jnp.moveaxis(sc_sl, 1, 0)[:, :, :n_win]  # [S, N, n_win]
     mask = escore.window_mask(lens, n_win, W)
     return jnp.where(mask[None], scores, NEG_INF), mask

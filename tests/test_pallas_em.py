@@ -68,7 +68,9 @@ def _setup(K, W, n=60, l=50, ragged=True):
 
 
 class TestPallasKernelEquivalence:
-    @pytest.mark.parametrize("K,W", [(0, 8), (1, 8), (2, 8), (3, 6)])
+    @pytest.mark.parametrize(
+        "K,W", [(0, 8), (1, 8), (2, 8), (3, 6), (4, 8), (5, 6)]
+    )
     def test_matches_gather_path(self, K, W):
         v, data, motif = _setup(K, W)
         alphas = jnp.asarray(motif.alphas, jnp.float32)
@@ -106,7 +108,7 @@ class TestPallasKernelEquivalence:
 
 
 class TestPallasWindowScores:
-    @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (3, 6)])
+    @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (3, 6), (4, 6), (5, 6)])
     def test_matches_gather_scores(self, K, W):
         from bammmotif2_tpu.models.motif import log_odds_lut
         from bammmotif2_tpu.ops import escore, pallas_em

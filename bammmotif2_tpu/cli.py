@@ -15,6 +15,7 @@ Reference command lines run unmodified, e.g.:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -95,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--single-device", dest="multiDevice", action="store_false", default=True
     )
+    p.add_argument("--jsonl", action="store_true",
+                   help="write structured metrics to BASENAME.metrics.jsonl")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
+    p.add_argument("--checkpointEvery", type=int, default=0, metavar="N",
+                   help="write the model file every N EM iterations "
+                        "(a saved BaMM is a valid --BaMMFile resume point)")
     return p
 
 
@@ -106,7 +114,24 @@ def params_from_args(argv: list) -> Params:
 
 
 def run_pipeline(params: Params, mesh=None) -> dict:
-    """Execute the full pipeline; returns a dict of produced artifacts."""
+    """Execute the full pipeline; returns a dict of produced artifacts.
+
+    With ``params.profile`` set, the whole run is captured as a
+    ``jax.profiler`` trace (open with TensorBoard / xprof); with
+    ``params.jsonl``, every stage appends one event to
+    ``BASENAME.metrics.jsonl`` (utils.metrics).
+    """
+    if params.profile:
+        import jax
+
+        with jax.profiler.trace(params.profile):
+            return _run_pipeline(params, mesh)
+    return _run_pipeline(params, mesh)
+
+
+def _run_pipeline(params: Params, mesh=None) -> dict:
+    from bammmotif2_tpu.utils.metrics import MetricsLogger
+
     t_start = time.perf_counter()
     out: dict = {"motifs": [], "files": []}
     os.makedirs(params.outputDirectory, exist_ok=True)
@@ -114,8 +139,20 @@ def run_pipeline(params: Params, mesh=None) -> dict:
     basename = params.basename or os.path.splitext(
         os.path.basename(params.posSequenceFile)
     )[0]
+    metrics = MetricsLogger(
+        os.path.join(params.outputDirectory, f"{basename}.metrics.jsonl")
+        if params.jsonl
+        else None
+    )
+    metrics.event("run_start", params={
+        k: v for k, v in dataclasses.asdict(params).items() if v not in (None, False)
+    })
 
     pos_set = read_fasta(params.posSequenceFile, alphabet)
+    metrics.event(
+        "sequences_loaded", n=pos_set.n,
+        min_len=pos_set.min_len, max_len=pos_set.max_len,
+    )
     neg_set = (
         read_fasta(params.negSequenceFile, alphabet)
         if params.negSequenceFile
@@ -151,16 +188,45 @@ def run_pipeline(params: Params, mesh=None) -> dict:
             )
 
     if params.EM:
-        results = run_em_multi(motifs, bg, pos_set, params, mesh=mesh)
+        if params.checkpointEvery > 0:
+            # restartable path: per-motif EM, model file rewritten every
+            # N iterations (a saved BaMM is a valid --BaMMFile resume point)
+            results = []
+            for m in motifs:
+                def _ckpt(motif=None, iteration=0, _m=m):
+                    (_m if motif is None else motif).write(
+                        params.outputDirectory, f"{basename}_{_m.name}"
+                    )
+                    metrics.event(
+                        "em_checkpoint", motif=_m.name, iteration=iteration
+                    )
+
+                results.append(
+                    run_em(m, bg, pos_set, params, mesh=mesh, checkpoint_fn=_ckpt)
+                )
+        else:
+            results = run_em_multi(motifs, bg, pos_set, params, mesh=mesh)
         out["em_results"] = results
-        if params.verbose:
-            for m, r in zip(motifs, results):
+        for m, r in zip(motifs, results):
+            metrics.event(
+                "em_done", motif=m.name, iterations=r.iterations,
+                ll=r.ll, q=r.q, converged=r.converged,
+                windows_per_sec=round(r.windows_per_sec),
+                seconds=round(r.seconds, 3),
+            )
+            if params.verbose:
                 print(
                     f"EM {m.name}: {r.iterations} iters, ll={r.ll:.2f}, "
                     f"q={r.q:.3f}, {r.windows_per_sec:,.0f} windows/s"
                 )
     elif params.CGS:
         out["cgs_results"] = [run_gibbs(m, bg, pos_set, params) for m in motifs]
+        for m, r in zip(motifs, out["cgs_results"]):
+            metrics.event(
+                "cgs_done", motif=m.name,
+                iterations=getattr(r, "iterations", params.maxCGSIterations),
+                q=getattr(r, "q", None),
+            )
 
     if params.saveBaMMs:
         for m in motifs:
@@ -186,6 +252,11 @@ def run_pipeline(params: Params, mesh=None) -> dict:
             )
             scan.write_occurrences(path, occs)
             out["files"].append(path)
+            metrics.event(
+                "scan_done", motif=m.name, hits=len(occs),
+                windows=int(np.sum(np.maximum(pos_set.lens - m.W + 1, 0)))
+                * (1 if params.ss else 2),
+            )
             if params.saveLogOdds:
                 lo_path = os.path.join(
                     params.outputDirectory, f"{basename}_{m.name}.logOdds"
@@ -208,8 +279,17 @@ def run_pipeline(params: Params, mesh=None) -> dict:
                 np.savetxt(pv_path, fdr_res.pos_pvalues, fmt="%.4e")
                 out["files"].append(pv_path)
             out.setdefault("fdr_results", []).append(fdr_res)
+            from bammmotif2_tpu.evaluation.prcurve import average_recall
+
+            metrics.event(
+                "fdr_done", motif=m.name,
+                avrec_zoops=round(average_recall(fdr_res.zoops), 4),
+                avrec_mops=round(average_recall(fdr_res.mops), 4),
+            )
 
     out["runtime_seconds"] = time.perf_counter() - t_start
+    metrics.event("run_done", runtime_seconds=round(out["runtime_seconds"], 3))
+    metrics.close()
     if params.verbose:
         print(f"Runtime: {out['runtime_seconds']:.2f}s")
     return out

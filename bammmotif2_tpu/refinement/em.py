@@ -237,12 +237,19 @@ def run_em(
     data: dict | None = None,
     verbose: bool | None = None,
     mesh=None,
+    checkpoint_fn=None,
 ) -> EMResult:
     """Refine ``motif`` in place with ZOOPS EM (``EM::optimize``).
 
     With ``mesh`` (jax.sharding.Mesh with a 'data' axis): sequences shard
     over the data axis, the model replicates, and GSPMD inserts the one
     count all-reduce per iteration — the multi-chip/multi-host path.
+
+    ``checkpoint_fn(motif=, iteration=)``: when set together with
+    ``params.checkpointEvery > 0``, the convergence loop runs in device
+    chunks of that many iterations and the callback fires after each chunk
+    with the refreshed motif — the restartable-multi-host-run hook (the
+    written model file is a valid ``--BaMMFile`` resume point).
     """
     params = params or Params(EM=True)
     verbose = params.verbose if verbose is None else verbose
@@ -272,7 +279,27 @@ def run_em(
     ll_hist: list = []
     t0 = time.perf_counter()
     nr = jnp.asarray(n_real, jnp.float32)
-    if not verbose:
+    ckpt_every = getattr(params, "checkpointEvery", 0) if checkpoint_fn else 0
+    if not verbose and ckpt_every > 0:
+        # restartable path: the device loop runs in chunks of
+        # checkpointEvery iterations; the model is materialized and handed
+        # to checkpoint_fn after each chunk
+        it, ll, v_diff = 0, float("-inf"), float("inf")
+        converged = False
+        while it < params.maxEMIterations and not converged:
+            chunk = min(ckpt_every, params.maxEMIterations - it)
+            v, q, ll_dev, vd_dev, it_dev = em_optimize(
+                v, q, data, alphas, f_bg, nr, jnp.float32(params.epsilon),
+                A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
+                max_iters=chunk, mesh=mesh,
+            )
+            it += int(it_dev)
+            ll, v_diff = float(ll_dev), float(vd_dev)
+            ll_hist.append(ll)
+            converged = v_diff < params.epsilon or int(it_dev) < chunk
+            motif.v = [np.asarray(vk, np.float64) for vk in v]
+            checkpoint_fn(motif=motif, iteration=it)
+    elif not verbose:
         # whole convergence loop in one device program: no per-iteration
         # host round-trips (the production path)
         v, q, ll_dev, vd_dev, it_dev = em_optimize(

@@ -83,6 +83,10 @@ class Params:
     use_pallas: bool = True                 # fused Pallas EM kernel when possible
     multiDevice: bool = True                # shard over all devices/hosts if >1
     data_axis: str = "data"                 # mesh axis name for sequence sharding
+    jsonl: bool = False                     # --jsonl : structured metrics file
+    profile: str | None = None              # --profile DIR : jax.profiler trace
+    checkpointEvery: int = 0                # --checkpointEvery N : save model
+                                            #   every N EM iterations (restartable)
 
     def alpha_for_order(self, k: int) -> float:
         """alpha_k default: alpha_0 for k=0, beta*gamma^(k-1) for k>=1."""

@@ -116,6 +116,45 @@ class TestPipeline:
         assert rc == 0
         assert (out / "t_motif_1.ihbcp").exists()
 
+    def test_jsonl_metrics_and_checkpointing(self, workdir):
+        import json
+
+        d, fasta, meme = workdir
+        out = d / "run_jsonl"
+        rc = main(
+            [str(out), fasta, "--PWMFile", meme, "--EM", "-q", "0.5",
+             "--no-pallas", "--basename", "t", "--jsonl",
+             "--checkpointEvery", "3"]
+        )
+        assert rc == 0
+        events = [
+            json.loads(line)
+            for line in (out / "t.metrics.jsonl").read_text().splitlines()
+        ]
+        kinds = [e["event"] for e in events]
+        assert kinds[0] == "run_start" and kinds[-1] == "run_done"
+        assert "sequences_loaded" in kinds and "em_done" in kinds
+        ckpts = [e for e in events if e["event"] == "em_checkpoint"]
+        assert len(ckpts) >= 2  # converges after several 3-iteration chunks
+        assert ckpts[0]["iteration"] == 3
+        em = next(e for e in events if e["event"] == "em_done")
+        # checkpointed chunked run reaches the same convergence as one-shot
+        assert em["converged"]
+        # the checkpoint file is the final model file (valid resume point)
+        assert (out / "t_motif_1.ihbcp").exists()
+
+    def test_checkpointed_run_matches_oneshot(self, workdir):
+        d, fasta, meme = workdir
+        out_a = d / "run_ck"
+        out_b = d / "run_os"
+        main([str(out_a), fasta, "--PWMFile", meme, "--EM", "-q", "0.5",
+              "--no-pallas", "--basename", "t", "--checkpointEvery", "2"])
+        main([str(out_b), fasta, "--PWMFile", meme, "--EM", "-q", "0.5",
+              "--no-pallas", "--basename", "t"])
+        a = (out_a / "t_motif_1.ihbcp").read_text()
+        b = (out_b / "t_motif_1.ihbcp").read_text()
+        assert a == b
+
     def test_bgmodel_file_roundtrip(self, workdir):
         d, fasta, meme = workdir
         out1 = d / "run_bg1"

@@ -97,6 +97,29 @@ def time_em(path: str) -> tuple[float, float]:
     return n_win * N_TIMED_ITERS / dt, N_TIMED_ITERS / dt
 
 
+def time_scan() -> float:
+    """Scanner throughput: the scores-only Pallas kernel on the same set."""
+    import jax
+
+    from bammmotif2_tpu.models.motif import log_odds_lut
+    from bammmotif2_tpu.ops import pallas_em
+
+    v, q, data, alphas, f_bg, n_win = build_problem()
+    s_flat = log_odds_lut(v, data["bg_flat"])
+
+    def run():
+        return pallas_em.window_scores(
+            s_flat, data["qidx"], data["lens"], data["map5"], A=4, K=K, W=W
+        )
+
+    jax.block_until_ready(run())
+    t0 = time.perf_counter()
+    for _ in range(N_TIMED_ITERS):
+        out = run()
+    jax.block_until_ready(out)
+    return n_win * N_TIMED_ITERS / (time.perf_counter() - t0)
+
+
 def measure_anchor() -> float:
     """CPU anchor (reference stand-in): same EM step on the host CPU."""
     import subprocess
@@ -137,6 +160,14 @@ def main():
         else:
             raise
 
+    # secondary metric: genome-scale scanning throughput (scores-only kernel)
+    scan_wps = None
+    if backend == "tpu":
+        try:
+            scan_wps = time_scan()
+        except Exception:
+            pass
+
     if os.path.exists(ANCHOR_FILE):
         with open(ANCHOR_FILE) as f:
             anchor = json.load(f)["cpu_windows_per_sec"]
@@ -154,7 +185,7 @@ def main():
         except Exception:
             anchor = None
 
-    print(json.dumps({
+    out = {
         "metric": "EM sequence-windows scored/sec/chip (order-2, 10k x 200bp, W=12, both strands)",
         "value": round(wps),
         "unit": "windows/sec",
@@ -162,7 +193,10 @@ def main():
         "iters_per_sec": round(ips, 2),
         "backend": backend,
         "path": path,
-    }))
+    }
+    if scan_wps:
+        out["scan_windows_per_sec"] = round(scan_wps)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

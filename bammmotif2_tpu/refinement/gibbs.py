@@ -146,11 +146,23 @@ def gibbs_step(
         z = jnp.argmax(flat, axis=-1)
     occupied = z > 0
     zi = z - 1  # flattened (s, i)
-    r = jnp.zeros((N, S * n_win), jnp.float32)
-    r = r.at[jnp.arange(N), jnp.clip(zi, 0)].set(occupied.astype(jnp.float32))
+    # one-hot via broadcast compare — arbitrary-index scatter serializes on
+    # TPU (~300 ms for 10k updates); the compare is a single vector op
+    cols = jnp.arange(S * n_win, dtype=zi.dtype)[None, :]
+    r = ((cols == zi[:, None]) & occupied[:, None]).astype(jnp.float32)
     r = jnp.moveaxis(r.reshape(N, S, n_win), 1, 0)  # [S, N, n_win]
 
-    C = escore.mstep_counts(r, cidx, R, W)
+    if path.startswith("pallas"):
+        from bammmotif2_tpu.ops import pallas_em
+
+        L = cidx.shape[2]
+        r_snl = jnp.pad(r, ((0, 0), (0, 0), (0, L - n_win)))
+        C = pallas_em.counts_from_r(
+            r_snl, data["qidx"], data["map5"],
+            A=A, K=K, W=W, R=R, interpret=path == "pallas_interpret",
+        )
+    else:
+        C = escore.mstep_counts(r, cidx, R, W)
     counts = motif_mod.counts_from_combined(C[:R], A, K)
 
     n_occ = occupied.sum()

@@ -107,6 +107,36 @@ class TestPallasKernelEquivalence:
         np.testing.assert_allclose(float(llg), float(llp), rtol=1e-5)
 
 
+class TestPallasCountsFromR:
+    @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (4, 6)])
+    def test_matches_segment_sum_counts(self, K, W):
+        from bammmotif2_tpu.ops import escore, pallas_em
+
+        v, data, motif = _setup(K, W)
+        cidx, lens = data["cidx"], data["lens"]
+        S, N, L = cidx.shape
+        n_win = L - W + 1
+        R = encode.num_rows(4, K)
+        # hard 0/1 occupancy at a valid window per sequence (CGS shape)
+        rng = np.random.default_rng(1)
+        mask = np.asarray(escore.window_mask(lens, n_win, W))
+        r = np.zeros((S, N, n_win), np.float32)
+        for n in range(N):
+            valid = np.nonzero(mask[n])[0]
+            if len(valid) and rng.random() < 0.8:
+                r[rng.integers(0, S), n, rng.choice(valid)] = 1.0
+        r = jnp.asarray(r)
+        C_ref = escore.mstep_counts(r, cidx, R, W)
+        r_snl = jnp.pad(r, ((0, 0), (0, 0), (0, L - n_win)))
+        C_pal = pallas_em.counts_from_r(
+            r_snl, data["qidx"], data["map5"],
+            A=4, K=K, W=W, R=R, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(C_pal), np.asarray(C_ref), atol=1e-5
+        )
+
+
 class TestPallasWindowScores:
     @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (3, 6), (4, 6), (5, 6)])
     def test_matches_gather_scores(self, K, W):

@@ -68,19 +68,31 @@ def run_em_multi(
         alphas = jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in group])
         f_bg = jnp.asarray(group[0].f_bg, jnp.float32)
 
+        path = choose_path(params, K, sharded=mesh is not None, A=A)
+        m_pad = 0
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # the seed axis shards over 'seed': pad the group to a multiple
+            # by replicating the last member (idempotent; sliced off below)
+            n_seed_axis = mesh.shape.get("seed", 1)
+            m_pad = (-M) % n_seed_axis
+            if m_pad:
+                v = tuple(
+                    jnp.concatenate([vk, jnp.repeat(vk[-1:], m_pad, 0)])
+                    for vk in v
+                )
+                q = jnp.concatenate([q, jnp.repeat(q[-1:], m_pad)])
+                alphas = jnp.concatenate(
+                    [alphas, jnp.repeat(alphas[-1:], m_pad, 0)]
+                )
             seed_sh = NamedSharding(mesh, P("seed"))
             v = jax.device_put(v, seed_sh)
             q = jax.device_put(q, seed_sh)
             alphas = jax.device_put(alphas, seed_sh)
 
-        # sharded multi-seed stays on the GSPMD gather path: vmap over the
-        # seed axis around a data-axis shard_map is not composed here yet
-        path = "gather" if mesh is not None else choose_path(params, K, A=A)
         loop = _batched_optimize(A, K, W, params.optimizeQ, path,
-                                 params.maxEMIterations)
+                                 params.maxEMIterations, mesh=mesh)
         n_win = n_win_1
         t0 = time.perf_counter()
         nr = jnp.asarray(n_real, jnp.float32)
@@ -105,8 +117,64 @@ def run_em_multi(
     return results
 
 
+def _pallas_shard_batched_step(A: int, K: int, W: int, optimize_q: bool,
+                               mesh, interpret: bool = False):
+    """One batched EM iteration on a ('data', 'seed') mesh with the fused
+    Pallas kernel: shard_map composes OUTSIDE, vmap INSIDE — each device
+    runs the kernel for its local seed slice over its local data shard,
+    then one psum over 'data' merges counts/likelihood.  Model math
+    (pseudo-count update, q, v_diff) stays in plain GSPMD per seed.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from bammmotif2_tpu.models import motif as motif_mod
+    from bammmotif2_tpu.ops import pallas_em
+
+    R = encode.num_rows(A, K)
+
+    def step(v, q, data, alphas, f_bg, n_real):
+        bg_flat = data["bg_flat"]
+        s_flat = jax.vmap(lambda vk: motif_mod.log_odds_lut(vk, bg_flat))(v)
+
+        def per_shard(s_flat_l, q_l, qidx_s, lens_s, map5_r):
+            def one(sf, qq):
+                return pallas_em.em_counts(
+                    sf, qidx_s, lens_s, qq, map5_r,
+                    A=A, K=K, W=W, R=R, interpret=interpret,
+                )
+
+            C, ll = jax.vmap(one)(s_flat_l, q_l)
+            return jax.lax.psum(C, "data"), jax.lax.psum(ll, "data")
+
+        C, ll = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P("seed"), P("seed"), P(None, "data", None),
+                      P("data"), P()),
+            out_specs=(P("seed"), P("seed")),
+            check_vma=False,  # pallas_call outs carry no vma annotation
+        )(s_flat, q, data["qidx"], data["lens"], data["map5"])
+
+        def finish(Cm, qm, am, vm):
+            counts = motif_mod.counts_from_combined(Cm[:R], A, K)
+            v_new = motif_mod.update_v(counts, am, f_bg)
+            if optimize_q:
+                q_new = jnp.clip(Cm.sum(axis=0)[0] / n_real, 1e-4, 1 - 1e-4)
+            else:
+                q_new = qm
+            vd = sum(jnp.abs(a - b).sum() for a, b in zip(v_new, vm))
+            return v_new, q_new, vd
+
+        v_new, q_new, vd = jax.vmap(finish)(C, q, alphas, v)
+        # zero-length pad sequences each contribute log(1-q) (cf. em_step)
+        ll = ll - (data["lens"].shape[0] - n_real) * jnp.log1p(-q)
+        return v_new, q_new, ll, vd
+
+    return step
+
+
 def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
-                      max_iters: int):
+                      max_iters: int, mesh=None):
     """Batched on-device EM convergence loop over the seed axis.
 
     One jitted while_loop for the whole group: every live seed steps in the
@@ -116,15 +184,21 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
     or the cap is hit — only then does anything return to host.
     """
 
-    def single(v, q, data, alphas, f_bg, n_real):
-        return em_step(
-            v, q, data, alphas, f_bg, n_real,
-            A=A, K=K, W=W, optimize_q=optimize_q, path=path,
+    if path.startswith("pallas_shard"):
+        batched = _pallas_shard_batched_step(
+            A, K, W, optimize_q, mesh, interpret=path.endswith("interpret")
         )
+    else:
 
-    batched = jax.vmap(
-        single, in_axes=(0, 0, None, 0, None, None), out_axes=(0, 0, 0, 0)
-    )
+        def single(v, q, data, alphas, f_bg, n_real):
+            return em_step(
+                v, q, data, alphas, f_bg, n_real,
+                A=A, K=K, W=W, optimize_q=optimize_q, path=path, mesh=mesh,
+            )
+
+        batched = jax.vmap(
+            single, in_axes=(0, 0, None, 0, None, None), out_axes=(0, 0, 0, 0)
+        )
 
     @jax.jit
     def loop(v, q, data, alphas, f_bg, n_real, epsilon):

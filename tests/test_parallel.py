@@ -115,6 +115,57 @@ class TestGraftEntry:
         assert "dryrun_multichip OK" in capsys.readouterr().out
 
 
+class TestMultiSeedShardedPallas:
+    def test_composite_matches_sequential_gather(self, planted):
+        """shard_map(data) ∘ vmap(seed) ∘ Pallas kernel == per-seed gather."""
+        import jax.numpy as jnp
+
+        from bammmotif2_tpu.ops import encode
+        from bammmotif2_tpu.refinement.em import em_step, prepare_data
+        from bammmotif2_tpu.refinement.multi import _pallas_shard_batched_step
+
+        sset, bg = planted
+        seeds = [seed_motif(sset, soft=s) for s in (0.6, 0.7)]
+        K, W = seeds[0].K, seeds[0].W
+        data = prepare_data(sset, bg, K, ss=False)
+        nr = jnp.asarray(float(sset.n), jnp.float32)
+        kw = dict(A=4, K=K, W=W, optimize_q=True)
+
+        refs = []
+        for m in seeds:
+            v = tuple(jnp.asarray(vk, jnp.float32) for vk in m.v)
+            refs.append(
+                em_step(
+                    v, jnp.float32(0.9), data,
+                    jnp.asarray(m.alphas, jnp.float32),
+                    jnp.asarray(m.f_bg, jnp.float32), nr,
+                    path="gather", **kw,
+                )
+            )
+
+        mesh = mesh_mod.make_mesh(n_data=4, n_seed=2)
+        sdata = mesh_mod.shard_em_data(mesh, data, encode.num_rows(4, K))
+        vb = tuple(
+            jnp.stack([jnp.asarray(m.v[k], jnp.float32) for m in seeds])
+            for k in range(K + 1)
+        )
+        qb = jnp.full((2,), 0.9, jnp.float32)
+        ab = jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in seeds])
+        f_bg = jnp.asarray(seeds[0].f_bg, jnp.float32)
+        step = _pallas_shard_batched_step(
+            4, K, W, True, mesh, interpret=True
+        )
+        v_new, q_new, lls, vds = jax.jit(step)(vb, qb, sdata, ab, f_bg, nr)
+
+        for gi, (vr, qr, llr, vdr) in enumerate(refs):
+            np.testing.assert_allclose(float(lls[gi]), float(llr), rtol=1e-5)
+            np.testing.assert_allclose(float(q_new[gi]), float(qr), rtol=1e-5)
+            for a, b in zip(vr, [vk[gi] for vk in v_new]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-5
+                )
+
+
 class TestShardedPallas:
     def test_pallas_shard_matches_gather(self, planted):
         """shard_map'd Pallas kernel (interpret) == unsharded gather path."""

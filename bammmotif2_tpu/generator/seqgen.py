@@ -113,6 +113,45 @@ def sample_motif_sites(motif: Motif, n: int, seed: int = 0) -> np.ndarray:
     return out
 
 
+def mask_motif(
+    sset: SequenceSet,
+    motif: Motif,
+    bg: BackgroundModel,
+    pval_cutoff: float = 1e-3,
+    m_fold: int = 10,
+    seed: int = 7,
+    ss: bool = False,
+) -> SequenceSet:
+    """Motif-masked positives: resample every significant motif window from
+    the background model (``SeqGenerator`` masked variant — used to hunt
+    secondary motifs after the primary is found).
+
+    Windows whose max-per-sequence log-odds beats the empirical p-value
+    cutoff (against ``m_fold`` sampled negatives) are replaced by bases
+    drawn from the background's mono-nucleotide conditionals.
+    """
+    from bammmotif2_tpu.scoring import scan as scan_mod
+
+    res = scan_mod.score_set(motif, bg, sset, ss=ss)
+    neg = generate_neg_set(bg, sset.lens, m_fold=m_fold, seed=seed)
+    neg_res = scan_mod.score_set(motif, bg, neg, ss=ss)
+    occs = scan_mod.find_occurrences(res, sset, neg_res.max_scores, pval_cutoff)
+
+    rng = np.random.default_rng(seed)
+    f0 = np.asarray(bg.v[0], np.float64)
+    f0 = f0 / f0.sum()
+    codes = sset.codes.copy()
+    for occ in occs:
+        i = occ.seq_idx
+        start = occ.start  # 0-based inclusive
+        end = min(occ.end, int(sset.lens[i]))
+        codes[i, start:end] = rng.choice(len(f0), size=end - start, p=f0)
+    return SequenceSet(
+        codes=codes, lens=sset.lens.copy(), headers=list(sset.headers),
+        alphabet=sset.alphabet,
+    )
+
+
 def embed_motif(
     sset: SequenceSet, motif: Motif, q: float = 1.0, seed: int = 1
 ) -> SequenceSet:

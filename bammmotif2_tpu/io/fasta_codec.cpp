@@ -19,6 +19,7 @@
 //     (alphabet-generic: STANDARD, METHYLC, ...); unknown -> AMBIG code
 //
 // Build: g++ -O3 -shared -fPIC fasta_codec.cpp -o libbamm_fasta.so
+// (compiled on demand by io/native.py; ships inside the package)
 
 #include <cstdint>
 #include <cstring>

@@ -1,4 +1,4 @@
-"""ctypes bindings for the native C++ FASTA codec (native/fasta_codec.cpp).
+"""ctypes bindings for the native C++ FASTA codec (io/fasta_codec.cpp).
 
 The shared library is compiled on first use with the system g++ (no build
 step, no pip deps) and cached; every entry point degrades gracefully to
@@ -24,11 +24,7 @@ _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _lib_failed = False
 
-_SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "fasta_codec.cpp",
-)
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fasta_codec.cpp")
 
 
 def _cache_dir() -> str:

@@ -172,3 +172,33 @@ class TestFDR:
         paths = res.write(str(tmp_path), "motif_1")
         for p in paths:
             assert len(open(p).readlines()) > 1
+
+
+class TestMaskMotif:
+    def test_masking_removes_planted_sites(self):
+        from bammmotif2_tpu.generator.seqgen import mask_motif
+        from bammmotif2_tpu.models import seeds as seeds_mod
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.scoring import scan as scan_mod
+        from bammmotif2_tpu.generator import seqgen
+
+        from tests.test_em import planted_set
+
+        sset = planted_set(n=150, l=80, motif="TGACTCAG", q=0.9, noise=0.02)
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+        motif = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm("TGACTCAG", soft=0.8),
+            K=0, f_bg=sset.base_frequencies(),
+        )
+
+        def hits(s):
+            res = scan_mod.score_set(motif, bg, s, ss=False)
+            neg = seqgen.generate_neg_set(bg, s.lens, m_fold=5, seed=3)
+            neg_res = scan_mod.score_set(motif, bg, neg, ss=False)
+            return len(scan_mod.find_occurrences(res, s, neg_res.max_scores, 0.01))
+
+        before = hits(sset)
+        masked = mask_motif(sset, motif, bg, pval_cutoff=0.01, m_fold=5)
+        after = hits(masked)
+        assert before > 100
+        assert after < before * 0.1

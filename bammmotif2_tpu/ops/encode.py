@@ -165,15 +165,40 @@ def revcomp_codes(codes: np.ndarray, lens: np.ndarray, comp_table: np.ndarray) -
     return np.where(in_range, comp, -2).astype(np.int8)
 
 
+@jax.jit
+def revcomp_codes_device(codes: jnp.ndarray, lens: jnp.ndarray, comp_table: jnp.ndarray):
+    """Device-side batch reverse complement (same contract as revcomp_codes).
+
+    Genome-scale scanning is bottlenecked by host work if the revcomp runs
+    in numpy (~3 s for 100k x 200 bp); on device it is one gather.
+    """
+    N, L = codes.shape
+    t = jnp.arange(L)[None, :]
+    src = lens[:, None] - 1 - t
+    in_range = src >= 0
+    gathered = jnp.take_along_axis(
+        codes, jnp.clip(src, 0, L - 1).astype(jnp.int32), axis=1
+    )
+    comp = jnp.where(
+        gathered >= 0,
+        comp_table[jnp.clip(gathered, 0, comp_table.shape[0] - 1)],
+        gathered,  # AMBIG (-1) complements to AMBIG
+    )
+    return jnp.where(in_range, comp, jnp.int8(-2)).astype(jnp.int8)
+
+
 def _strand_codes(sset: SequenceSet, ss: bool) -> list:
-    """Forward (+ reverse-complement unless ss) code arrays."""
-    out = [jnp.asarray(sset.codes)]
+    """Forward (+ reverse-complement unless ss) code arrays (device)."""
+    codes = jnp.asarray(sset.codes)
+    out = [codes]
     if not ss:
         table = np.array(
             [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
             dtype=np.int8,
         )
-        out.append(jnp.asarray(revcomp_codes(sset.codes, sset.lens, table)))
+        out.append(
+            revcomp_codes_device(codes, jnp.asarray(sset.lens), jnp.asarray(table))
+        )
     return out
 
 

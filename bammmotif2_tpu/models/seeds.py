@@ -140,6 +140,12 @@ def motif_from_pwm(
     alphabet = alphabet or Alphabet.standard()
     A = alphabet.size
     W = pwm.shape[0]
+    if pwm.shape[1] != A:
+        raise ValueError(
+            f"PWM has {pwm.shape[1]} columns but alphabet "
+            f"{alphabet.name!r} has {A} letters — pass the matching "
+            f"Alphabet to motif_from_pwm"
+        )
     if alphas is None:
         alphas = Motif.default_alphas(K, W)
     counts = [np.asarray(pwm.T, np.float64) * nsites]

@@ -160,3 +160,48 @@ class TestEM:
         params = Params(EM=True, ss=True, maxEMIterations=10, use_pallas=False)
         res = run_em(motif, bg, sset, params)
         assert np.isfinite(res.ll)
+
+
+class TestExtendedAlphabetEM:
+    def test_methylc_em_recovers_motif(self):
+        """EM with the 5-letter METHYLC alphabet (A=5 end to end)."""
+        from bammmotif2_tpu.models import seeds as seeds_mod
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.refinement.em import run_em
+        from bammmotif2_tpu.utils.alphabet import Alphabet
+        from bammmotif2_tpu.utils.config import Params
+        from bammmotif2_tpu.utils.fasta import SequenceSet
+
+        alpha = Alphabet.from_type("METHYLC")
+        rng = np.random.default_rng(0)
+        motif = "TGAMTCAG"  # contains methyl-C
+        seqs = []
+        for _ in range(120):
+            s = "".join(
+                rng.choice(list("ACGTM"), size=60,
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04])
+            )
+            p = rng.integers(0, 52)
+            seqs.append(s[:p] + motif + s[p + 8:])
+        sset = SequenceSet.from_sequences(seqs, alphabet=alpha)
+        bg = BackgroundModel.from_sequence_set(sset, order=1, ss=True)
+        pwm = np.full((8, 5), 0.05)
+        for j, c in enumerate(motif):
+            pwm[j, alpha.letters.index(c)] = 0.8
+        m = seeds_mod.motif_from_pwm(
+            pwm, K=1, f_bg=sset.base_frequencies(), alphabet=alpha
+        )
+        r = run_em(
+            m, bg, sset, Params(EM=True, q=0.7, ss=True, use_pallas=False)
+        )
+        cons = "".join(alpha.letters[i] for i in m.v[0].argmax(axis=0))
+        assert cons == motif
+        assert r.converged
+
+    def test_pwm_alphabet_mismatch_raises(self):
+        from bammmotif2_tpu.models import seeds as seeds_mod
+
+        with np.testing.assert_raises(ValueError):
+            seeds_mod.motif_from_pwm(
+                np.full((8, 5), 0.2), K=1, f_bg=np.full(4, 0.25)
+            )

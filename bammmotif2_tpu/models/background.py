@@ -188,9 +188,7 @@ def _interpolated_v(counts: list, A: int, K: int, alpha: float) -> list:
     for k in range(1, K + 1):
         nk = counts[k]
         ctx = nk.reshape(-1, A).sum(axis=1)  # context counts (sum newest base)
-        y_drop_oldest = np.tile(np.arange(A ** k), A)  # y' for each y, oldest-first layout
         lower = v[k - 1][np.arange(A ** (k + 1)) % (A ** k)]
         denom = np.repeat(ctx, A) + alpha
         v.append((nk + alpha * lower) / denom)
-        del y_drop_oldest
     return v

@@ -1,11 +1,13 @@
-"""Multi-seed refinement: vmap over the seed axis.
+"""Multi-seed refinement: one batched device program over the seed axis.
 
 TPU-native equivalent of the reference driver's
 ``#pragma omp parallel for`` over the MotifSet (SURVEY.md 3.1): instead of
 threads, all seeds of equal (W, K) refine in ONE batched XLA program —
-model tensors gain a leading seed axis via jax.vmap, the sequence tensors
-broadcast.  On a ('data', 'seed') mesh the seed axis shards over its own
-mesh axis while sequences shard over 'data' (2-D parallelism).
+the per-seed EM step is statically unrolled inside a single jitted
+while_loop (NOT jax.vmap: the Pallas batching rule costs ~15x on TPU) and
+the sequence tensors are shared.  On a ('data', 'seed') mesh the seed
+axis shards over its own mesh axis while sequences shard over 'data'
+(2-D parallelism).
 
 Seeds with differing widths are grouped by (W, K) and each group runs
 batched; the host loop iterates until every member converges (finished
@@ -15,6 +17,7 @@ program shape static).
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -137,13 +140,19 @@ def _pallas_shard_batched_step(A: int, K: int, W: int, optimize_q: bool,
         s_flat = jax.vmap(lambda vk: motif_mod.log_odds_lut(vk, bg_flat))(v)
 
         def per_shard(s_flat_l, q_l, qidx_s, lens_s, map5_r):
-            def one(sf, qq):
-                return pallas_em.em_counts(
-                    sf, qidx_s, lens_s, qq, map5_r,
+            # static unrolled loop over local seeds, NOT vmap: the Pallas
+            # batching rule costs ~15x on TPU (measured); seed counts are
+            # small so unrolling is cheap and XLA pipelines the calls
+            Ml = s_flat_l.shape[0]
+            outs = [
+                pallas_em.em_counts(
+                    s_flat_l[m], qidx_s, lens_s, q_l[m], map5_r,
                     A=A, K=K, W=W, R=R, interpret=interpret,
                 )
-
-            C, ll = jax.vmap(one)(s_flat_l, q_l)
+                for m in range(Ml)
+            ]
+            C = jnp.stack([o[0] for o in outs])
+            ll = jnp.stack([o[1] for o in outs])
             return jax.lax.psum(C, "data"), jax.lax.psum(ll, "data")
 
         C, ll = jax.shard_map(
@@ -173,9 +182,15 @@ def _pallas_shard_batched_step(A: int, K: int, W: int, optimize_q: bool,
     return step
 
 
+@functools.lru_cache(maxsize=64)
 def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
                       max_iters: int, mesh=None):
     """Batched on-device EM convergence loop over the seed axis.
+
+    lru_cached by its (hashable) static configuration: the jitted loop
+    closure must be REUSED across calls or every run_em_multi invocation
+    recompiles the whole while_loop program (~5 s on TPU vs 0.3 s of
+    actual EM).
 
     One jitted while_loop for the whole group: every live seed steps in the
     same batched program (full MXU utilization); a seed whose v_diff OR
@@ -190,15 +205,25 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
         )
     else:
 
-        def single(v, q, data, alphas, f_bg, n_real):
-            return em_step(
-                v, q, data, alphas, f_bg, n_real,
-                A=A, K=K, W=W, optimize_q=optimize_q, path=path, mesh=mesh,
+        def batched(v, q, data, alphas, f_bg, n_real):
+            # static unrolled loop over seeds, NOT vmap (see per_shard note)
+            M = q.shape[0]
+            outs = [
+                em_step(
+                    tuple(vk[m] for vk in v), q[m], data, alphas[m], f_bg,
+                    n_real,
+                    A=A, K=K, W=W, optimize_q=optimize_q, path=path,
+                    mesh=mesh,
+                )
+                for m in range(M)
+            ]
+            v2 = tuple(
+                jnp.stack([o[0][k] for o in outs]) for k in range(len(v))
             )
-
-        batched = jax.vmap(
-            single, in_axes=(0, 0, None, 0, None, None), out_axes=(0, 0, 0, 0)
-        )
+            q2 = jnp.stack([o[1] for o in outs])
+            ll = jnp.stack([o[2] for o in outs])
+            vd = jnp.stack([o[3] for o in outs])
+            return v2, q2, ll, vd
 
     @jax.jit
     def loop(v, q, data, alphas, f_bg, n_real, epsilon):

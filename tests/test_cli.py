@@ -155,6 +155,35 @@ class TestPipeline:
         b = (out_b / "t_motif_1.ihbcp").read_text()
         assert a == b
 
+    def test_bamm_file_resume(self, workdir):
+        """A written .ihbcp re-loads via --BaMMFile (checkpoint/resume)."""
+        import numpy as np
+
+        from bammmotif2_tpu.models.motif import Motif
+
+        d, fasta, meme = workdir
+        out1 = d / "run_resume1"
+        rc = main(
+            [str(out1), fasta, "--PWMFile", meme, "--EM", "-q", "0.5",
+             "--no-pallas", "--basename", "t"]
+        )
+        assert rc == 0
+        saved = out1 / "t_motif_1.ihbcp"
+
+        # resume: init from the saved BaMM; already converged, so EM should
+        # stop almost immediately and write an equivalent model
+        out2 = d / "run_resume2"
+        rc = main(
+            [str(out2), fasta, "--BaMMFile", str(saved),
+             "--bgModelFile", str(out1 / "t.hbcp"), "--EM", "-q", "0.5",
+             "--no-pallas", "--basename", "t"]
+        )
+        assert rc == 0
+        m1 = Motif.read(str(saved))
+        m2 = Motif.read(str(out2 / "t_motif_1.ihbcp"))
+        for a, b in zip(m1.v, m2.v):
+            np.testing.assert_allclose(a, b, atol=5e-3)
+
     def test_bgmodel_file_roundtrip(self, workdir):
         d, fasta, meme = workdir
         out1 = d / "run_bg1"

@@ -66,8 +66,7 @@ from bammmotif2_tpu.ops.escore import NEG_INF
 LANE = 128
 SUBLANE = 8
 MAX_B = 64  # larger blocks exceed v5e VMEM (2 scratch (B, Wp, SLp) tensors)
-MAX_QLO = 640  # rows of the materialized low-digit one-hot
-MAX_QHI = 32  # hi values resolved by VPU masked accumulation
+MAX_QHI = 128  # hi values resolved by VPU masked accumulation
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in-kernel temporaries to aim for
 
 NT_SCORES = 3  # bf16 split terms for the E-step matmul (3 == full f32)
@@ -79,14 +78,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _hi_lo(K: int, A: int) -> tuple[int, int]:
-    """(Qlo, Qhi) digit-group sizes for base A+1, K+1 digits."""
+    """(Qlo, Qhi) digit-group sizes for base A+1, K+1 digits.
+
+    Chosen to minimize MXU lane-tiles of the low one-hot FIRST (the
+    contraction dimension — measured dominant), then the hi fan-out
+    (VPU masked accumulates — measured cheap: at A=4, K=5 a 125-row
+    one-hot with Qhi=125 beats a 625-row one-hot with Qhi=25)."""
     base = A + 1
-    dlo = K + 1
-    while base**dlo > MAX_QLO:
-        dlo -= 1
-    Qlo = base**dlo
-    Qhi = base ** (K + 1 - dlo)
-    return Qlo, Qhi
+    digits = K + 1
+    best = None
+    for dlo in range(1, digits + 1):
+        Qlo, Qhi = base**dlo, base ** (digits - dlo)
+        score = (-(-Qlo // LANE), Qhi)
+        if best is None or score < best[0]:
+            best = (score, (Qlo, Qhi))
+    return best[1]
 
 
 def supported(K: int, A: int = 4) -> bool:

@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bindingSiteFile", default=None)
     p.add_argument("--PWMFile", default=None)
     p.add_argument("--BaMMFile", default=None)
+    p.add_argument("--pattern", default=None,
+                   help="IUPAC seed pattern(s), ';'-separated (e.g. TGASTCA)")
     p.add_argument("--maxPWM", type=int, default=None)
     # model
     p.add_argument("-k", "--order", dest="modelOrder", type=int, default=2)

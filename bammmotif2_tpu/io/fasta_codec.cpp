@@ -10,7 +10,9 @@
 // the behavioral reference and fallback.
 //
 // Parsing semantics (must match utils/fasta.py::_parse_fasta_text):
-//   * lines separated by '\n'; leading/trailing ASCII whitespace stripped
+//   * lines separated by '\n' or '\r' (universal newlines: "\r\n", lone
+//     '\r', and '\n' all break lines, like Python text-mode reads);
+//     leading/trailing ASCII whitespace stripped
 //   * empty lines skipped
 //   * '>' starts a new record; header = rest of line, stripped
 //   * ';' lines are old-style FASTA comments, skipped
@@ -32,12 +34,14 @@ inline bool is_space(uint8_t c) {
 }
 
 // Iterate stripped, non-empty lines of buf[0..n); calls fn(start, end).
+// Both '\n' and '\r' end a line (universal newlines); the empty line
+// between a "\r\n" pair strips to nothing and is skipped.
 template <typename F>
 inline void for_each_line(const uint8_t* buf, int64_t n, F&& fn) {
   int64_t i = 0;
   while (i < n) {
     int64_t j = i;
-    while (j < n && buf[j] != '\n') ++j;
+    while (j < n && buf[j] != '\n' && buf[j] != '\r') ++j;
     int64_t a = i, b = j;
     while (a < b && is_space(buf[a])) ++a;
     while (b > a && is_space(buf[b - 1])) --b;

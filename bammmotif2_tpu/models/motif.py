@@ -197,13 +197,23 @@ class Motif:
     def write(self, outdir: str, basename: str | None = None) -> tuple:
         """Write .ihbcp + .ihbp. Blocks = positions (blank-line separated);
         each block has K+1 lines, line k holding |A|^(k+1) probabilities in
-        lexicographic k-mer order. Parity: ``Motif::write``."""
+        lexicographic k-mer order. Parity: ``Motif::write``.
+
+        ``#`` header lines carry order/width/alphabet metadata (mirroring
+        the ``.hbcp`` background header); all readers — ours and the
+        reference's — skip ``#`` lines, so headered files stay
+        interchange-compatible."""
         base = basename or self.name
         os.makedirs(outdir, exist_ok=True)
+        header = [
+            f"# W = {self.W}",
+            f"# K = {self.K}",
+            f"# alphabet = {self.alphabet.name}",
+        ]
         p_cond = os.path.join(outdir, base + ".ihbcp")
         p_full = os.path.join(outdir, base + ".ihbp")
-        _write_position_blocks(p_cond, self.v, self.W)
-        _write_position_blocks(p_full, self.full_probs(), self.W)
+        _write_position_blocks(p_cond, self.v, self.W, header)
+        _write_position_blocks(p_full, self.full_probs(), self.W, header)
         return p_cond, p_full
 
     @staticmethod
@@ -245,8 +255,14 @@ class Motif:
         return Motif(W, K, v, alphas, f_bg, alphabet, name=name)
 
 
-def _write_position_blocks(path: str, tables: list, W: int) -> None:
+def _write_position_blocks(
+    path: str, tables: list, W: int, header: list | None = None
+) -> None:
     with open(path, "w") as fh:
+        for line in header or ():
+            fh.write(line + "\n")
+        if header:
+            fh.write("\n")
         for j in range(W):
             for tab in tables:
                 fh.write(" ".join(_FLOAT_FMT % x for x in tab[:, j]) + "\n")

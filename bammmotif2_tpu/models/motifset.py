@@ -46,19 +46,44 @@ def extend_motif(m: Motif, left: int, right: int) -> Motif:
 def load_motifs(params: Params, f_bg: np.ndarray, alphabet: Alphabet | None = None) -> list:
     """Build the seed MotifSet from params (``MotifSet::MotifSet``).
 
-    Exactly one of PWMFile / BaMMFile / bindingSiteFile must be set.
+    Exactly one of PWMFile / BaMMFile / bindingSiteFile / pattern must be
+    set; ``pattern`` is one or more ';'-separated IUPAC strings lifted to
+    softened PWMs (``Motif::initFromPWM`` on an IUPAC-derived PWM).
     """
     alphabet = alphabet or Alphabet.from_type(params.alphabetType)
     K = params.modelOrder
     motifs: list = []
 
-    sources = [s for s in (params.PWMFile, params.BaMMFile, params.bindingSiteFile) if s]
+    sources = [
+        s
+        for s in (
+            params.PWMFile,
+            params.BaMMFile,
+            params.bindingSiteFile,
+            getattr(params, "pattern", None),
+        )
+        if s
+    ]
     if len(sources) != 1:
         raise ValueError(
-            "exactly one of --PWMFile, --BaMMFile, --bindingSiteFile must be given"
+            "exactly one of --PWMFile, --BaMMFile, --bindingSiteFile, "
+            "--pattern must be given"
         )
 
-    if params.PWMFile:
+    if getattr(params, "pattern", None):
+        patterns = [p for p in params.pattern.split(";") if p]
+        if params.maxPWM is not None:
+            patterns = patterns[: params.maxPWM]
+        for i, pat in enumerate(patterns):
+            pwm = seeds_mod.iupac_to_pwm(pat)
+            alphas = _alphas_from_params(params, K, pwm.shape[0])
+            motifs.append(
+                seeds_mod.motif_from_pwm(
+                    pwm, K, f_bg, alphas, alphabet=alphabet,
+                    name=f"motif_{i + 1}",
+                )
+            )
+    elif params.PWMFile:
         pwm_seeds = seeds_mod.read_meme(params.PWMFile, alphabet)
         if params.maxPWM is not None:
             pwm_seeds = pwm_seeds[: params.maxPWM]

@@ -33,7 +33,10 @@ bases) and Qhi = Q / Qlo (the oldest bases, <= 25 for A=4, K=5).  Only the
 LOW one-hot is materialized and contracted on the MXU against the LUT
 regrouped as (Qlo, Qhi*W); the few hi values then resolve as VPU masked
 accumulates ``P[b, j] = sum_h V[h*W+j] * [c_hi == h]`` (and transposed for
-counts).  K <= 3 degenerates to Qhi = 1 and skips the mask entirely.
+counts).  At A = 4, K <= 2 degenerates to Qhi = 1 and skips the mask
+entirely; K = 3 takes the digit-split path with (Qlo, Qhi) = (125, 5)
+(the tile-first tie-break in _hi_lo prefers one 128-lane tile + 5 hi
+masks over a 625-row one-hot).
 
 Matmul precision: the MXU is bf16; instead of ``Precision.HIGHEST`` (6
 bf16 passes emulating fp32 x fp32) the f32 operand is split into bf16
@@ -201,7 +204,7 @@ def _kernel(
     log_r0 = jnp.log1p(-q)
 
     # E-step scores per row: P3[b, j, i] = s5[code[b, i], j].
-    # Qhi == 1 (K <= 3): Python-unrolled — Mosaic pipelines the per-row
+    # Qhi == 1 (K <= 2 at A=4): Python-unrolled — Mosaic pipelines the per-row
     # matmuls (2.4x the fori_loop's throughput) and the per-row temporaries
     # are small enough to stack.  Qhi > 1: fori_loop — the hi/lo masked
     # temporaries are ~10x larger and an unrolled stack overflows VMEM.

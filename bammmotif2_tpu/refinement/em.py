@@ -47,12 +47,45 @@ class EMResult:
     v_diff: float
     converged: bool
     ll_history: list
-    seconds: float
+    seconds: float       # warm execution time (compile/trace time excluded)
     windows_scored: int  # total windows scored across all iterations
+    compile_seconds: float = 0.0  # trace+compile time (0 when cache-hot)
 
     @property
     def windows_per_sec(self) -> float:
+        """Warm throughput — same methodology as bench.py (compile excluded)."""
         return self.windows_scored / self.seconds if self.seconds > 0 else 0.0
+
+
+_AOT_CACHE: dict = {}
+
+
+def _aot_compile(fn, args: tuple, statics: dict):
+    """Ahead-of-time compile a jitted ``fn`` for ``args``, memoized.
+
+    Separates trace+compile time from execution time so EMResult.seconds /
+    windows_per_sec report WARM throughput (same methodology as bench.py —
+    the reference's timers never include a compiler either).  Returns
+    ``(compiled, seconds)`` with seconds == 0.0 on a memo hit; call the
+    compiled object with the dynamic ``args`` only.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    key = (
+        id(fn),
+        treedef,
+        tuple(
+            (l.shape, l.dtype.name, str(getattr(l, "sharding", None)))
+            for l in leaves
+        ),
+        tuple(statics[k] for k in sorted(statics)),
+    )
+    hit = _AOT_CACHE.get(key)
+    if hit is not None:
+        return hit, 0.0
+    t0 = time.perf_counter()
+    compiled = fn.lower(*args, **statics).compile()
+    _AOT_CACHE[key] = compiled
+    return compiled, time.perf_counter() - t0
 
 
 def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool) -> dict:
@@ -173,6 +206,7 @@ def em_optimize(
     f_bg: jnp.ndarray,
     n_real: jnp.ndarray,
     epsilon: jnp.ndarray,
+    ll0: jnp.ndarray,
     *,
     A: int,
     K: int,
@@ -189,6 +223,11 @@ def em_optimize(
     EM::optimize stop rule; the OR keeps f32 runs from hitting the
     iteration cap, since a sum-of-|dv| over ~10^3 float32 entries floors
     around 1e-2 while dll keeps shrinking) — runs on device.
+
+    ``ll0``: log-likelihood the first iteration's dll compares against
+    (-inf for a fresh run).  The chunked --checkpointEvery driver passes
+    the previous chunk's final ll so the dll criterion spans chunk
+    boundaries exactly as in a one-shot run.
 
     Returns (v, q, ll, v_diff, iterations).
     """
@@ -209,7 +248,7 @@ def em_optimize(
         vd_eff = jnp.minimum(vd2, dll)
         return (v2, q2, ll, vd_eff, it + 1)
 
-    state = (v, q, jnp.float32(-jnp.inf), jnp.float32(jnp.inf), jnp.int32(0))
+    state = (v, q, jnp.asarray(ll0, jnp.float32), jnp.float32(jnp.inf), jnp.int32(0))
     v, q, ll, vd, it = jax.lax.while_loop(cond, body, state)
     return v, q, ll, vd, it
 
@@ -277,36 +316,56 @@ def run_em(
 
     path = choose_path(params, K, sharded=mesh is not None, A=A)
     ll_hist: list = []
-    t0 = time.perf_counter()
     nr = jnp.asarray(n_real, jnp.float32)
+    eps = jnp.float32(params.epsilon)
+    statics = dict(
+        A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path, mesh=mesh
+    )
+    compile_seconds = 0.0
+    seconds = 0.0
+
+    def _sync_motif():
+        motif.v = [np.asarray(vk, np.float64) for vk in v]
+
     ckpt_every = getattr(params, "checkpointEvery", 0) if checkpoint_fn else 0
     if not verbose and ckpt_every > 0:
         # restartable path: the device loop runs in chunks of
         # checkpointEvery iterations; the model is materialized and handed
-        # to checkpoint_fn after each chunk
+        # to checkpoint_fn after each chunk.  The previous chunk's final ll
+        # carries into the next chunk (ll0) so the |dll| stop criterion
+        # spans chunk boundaries exactly as in a one-shot run.
         it, ll, v_diff = 0, float("-inf"), float("inf")
         converged = False
+        ll_carry = jnp.float32(-jnp.inf)
         while it < params.maxEMIterations and not converged:
             chunk = min(ckpt_every, params.maxEMIterations - it)
-            v, q, ll_dev, vd_dev, it_dev = em_optimize(
-                v, q, data, alphas, f_bg, nr, jnp.float32(params.epsilon),
-                A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
-                max_iters=chunk, mesh=mesh,
+            args = (v, q, data, alphas, f_bg, nr, eps, ll_carry)
+            compiled, csecs = _aot_compile(
+                em_optimize, args, {**statics, "max_iters": chunk}
             )
+            compile_seconds += csecs
+            t0 = time.perf_counter()
+            v, q, ll_dev, vd_dev, it_dev = compiled(*args)
+            jax.block_until_ready((v, q, ll_dev, vd_dev, it_dev))
+            seconds += time.perf_counter() - t0
             it += int(it_dev)
             ll, v_diff = float(ll_dev), float(vd_dev)
+            ll_carry = jnp.asarray(ll_dev, jnp.float32)
             ll_hist.append(ll)
             converged = v_diff < params.epsilon or int(it_dev) < chunk
-            motif.v = [np.asarray(vk, np.float64) for vk in v]
+            _sync_motif()
             checkpoint_fn(motif=motif, iteration=it)
     elif not verbose:
         # whole convergence loop in one device program: no per-iteration
         # host round-trips (the production path)
-        v, q, ll_dev, vd_dev, it_dev = em_optimize(
-            v, q, data, alphas, f_bg, nr, jnp.float32(params.epsilon),
-            A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
-            max_iters=params.maxEMIterations, mesh=mesh,
+        args = (v, q, data, alphas, f_bg, nr, eps, jnp.float32(-jnp.inf))
+        compiled, compile_seconds = _aot_compile(
+            em_optimize, args, {**statics, "max_iters": params.maxEMIterations}
         )
+        t0 = time.perf_counter()
+        v, q, ll_dev, vd_dev, it_dev = compiled(*args)
+        jax.block_until_ready((v, q, ll_dev, vd_dev, it_dev))
+        seconds = time.perf_counter() - t0
         it = int(it_dev)
         ll, v_diff = float(ll_dev), float(vd_dev)
         ll_hist.append(ll)
@@ -314,22 +373,25 @@ def run_em(
     else:
         it, ll, v_diff = 0, float("-inf"), float("inf")
         converged = False
+        args = (v, q, data, alphas, f_bg, nr)
+        compiled, compile_seconds = _aot_compile(em_step, args, statics)
         for it in range(1, params.maxEMIterations + 1):
             ll_prev = ll
-            v, q, ll_dev, vd_dev = em_step(
-                v, q, data, alphas, f_bg, nr,
-                A=A, K=K, W=W, optimize_q=params.optimizeQ, path=path,
-                mesh=mesh,
-            )
+            t0 = time.perf_counter()
+            v, q, ll_dev, vd_dev = compiled(v, q, data, alphas, f_bg, nr)
+            jax.block_until_ready((v, q, ll_dev, vd_dev))
+            seconds += time.perf_counter() - t0
             ll, v_diff = float(ll_dev), float(vd_dev)
             ll_hist.append(ll)
             print(f"  EM iter {it:4d}  ll={ll:.4f}  dv={v_diff:.3e}  q={float(q):.4f}")
+            if ckpt_every > 0 and it % ckpt_every == 0:
+                _sync_motif()
+                checkpoint_fn(motif=motif, iteration=it)
             if v_diff < params.epsilon or abs(ll - ll_prev) < params.epsilon:
                 converged = True
                 break
-    seconds = time.perf_counter() - t0
 
-    motif.v = [np.asarray(vk, np.float64) for vk in v]
+    _sync_motif()
     return EMResult(
         iterations=it,
         ll=ll,
@@ -339,4 +401,5 @@ def run_em(
         ll_history=ll_hist,
         seconds=seconds,
         windows_scored=n_win * it,
+        compile_seconds=compile_seconds,
     )

@@ -30,6 +30,7 @@ class Params:
     bindingSiteFile: str | None = None      # --bindingSiteFile
     PWMFile: str | None = None              # --PWMFile (MEME / PEnG minimal MEME)
     BaMMFile: str | None = None             # --BaMMFile (.ihbcp)
+    pattern: str | None = None              # --pattern IUPAC seed(s), ';'-separated
     baseBgModelFile: str | None = None      # background for --BaMMFile init (.hbcp)
     maxPWM: int | None = None               # --maxPWM : cap number of seeds
 

@@ -60,6 +60,37 @@ class TestArgParsing:
 
 
 class TestPipeline:
+    def test_pattern_seed_pipeline(self, workdir):
+        # --pattern: IUPAC seed straight from the command line (no PWM file)
+        d, fasta, _ = workdir
+        out = d / "run_pattern"
+        rc = main(
+            [str(out), fasta, "--pattern", MOTIF, "--EM", "-k", "2",
+             "-q", "0.5", "--no-pallas", "--basename", "t"]
+        )
+        assert rc == 0
+        from bammmotif2_tpu.models.motif import Motif
+
+        m = Motif.read(str(out / "t_motif_1.ihbcp"))
+        consensus = "".join("ACGT"[i] for i in m.v[0].argmax(axis=0))
+        assert consensus == MOTIF
+        # header metadata present and ignored by the reader
+        head = (out / "t_motif_1.ihbcp").read_text().splitlines()[:3]
+        assert head[0].startswith("# W = ")
+        assert head[1] == "# K = 2"
+        assert m.W == len(MOTIF) and m.K == 2
+
+    def test_pattern_multiple_seeds(self, workdir):
+        from bammmotif2_tpu.models.motifset import load_motifs
+        from bammmotif2_tpu.utils.config import Params
+
+        ms = load_motifs(
+            Params(pattern="TGACTCAG;NNRYSWKN", modelOrder=1),
+            np.full(4, 0.25),
+        )
+        assert [m.name for m in ms] == ["motif_1", "motif_2"]
+        assert all(m.W == 8 and m.K == 1 for m in ms)
+
     def test_em_pipeline_writes_models(self, workdir):
         d, fasta, meme = workdir
         out = d / "run_em"

@@ -64,6 +64,16 @@ class TestNativeParity:
         _assert_same(nat, py)
         assert nat.lens.tolist() == [6, 4]
 
+    def test_lone_cr_line_endings(self, tmp_path):
+        # classic-Mac line endings: '\r' alone must break lines like
+        # Python's universal-newline text mode does
+        p = tmp_path / "mac.fasta"
+        p.write_bytes(b">a\rACGT\rAC\r>b\rGGTT\r")
+        nat = read_fasta(p, use_native=True)
+        py = read_fasta(p, use_native=False)
+        _assert_same(nat, py)
+        assert nat.lens.tolist() == [6, 4]
+
     def test_methylc_alphabet(self, tmp_path):
         alpha = Alphabet.from_type("METHYLC")
         nat, py = _both(tmp_path, ">m\nACGTM\nmmACG\n", alpha)

@@ -237,12 +237,19 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
             )
 
     if params.scoreSeqset:
-        bg_fit = BackgroundModel.from_sequence_set(
-            pos_set, order=params.sOrder, alpha=params.bgModelAlpha, ss=params.ss
-        )
-        neg_sample = seqgen.generate_neg_set(
-            bg_fit, pos_set.lens, m_fold=max(params.mFold, 1), seed=params.seed
-        )
+        # p-value calibration scores: user-provided negatives when given
+        # (--negSeqFile, deterministic), else sampled from a background fit
+        if neg_set is not None:
+            neg_sample = neg_set
+        else:
+            bg_fit = BackgroundModel.from_sequence_set(
+                pos_set, order=params.sOrder, alpha=params.bgModelAlpha,
+                ss=params.ss,
+            )
+            neg_sample = seqgen.generate_neg_set(
+                bg_fit, pos_set.lens, m_fold=max(params.mFold, 1),
+                seed=params.seed,
+            )
         for m in motifs:
             res = scan.score_set(m, bg, pos_set, ss=params.ss)
             neg_res = scan.score_set(m, bg, neg_sample, ss=params.ss)
@@ -269,7 +276,7 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
     if params.FDR:
         seed_motifs = load_motifs(params, pos_set.base_frequencies(), alphabet)
         for m in seed_motifs:
-            fdr_res = evaluate_motif(m, bg, pos_set, params)
+            fdr_res = evaluate_motif(m, bg, pos_set, params, neg_set=neg_set)
             if params.savePRs:
                 out["files"] += fdr_res.write(
                     params.outputDirectory, f"{basename}_{m.name}"

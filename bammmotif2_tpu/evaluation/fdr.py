@@ -4,11 +4,20 @@ TPU-native equivalent of ``src/evaluation/FDR.{h,cpp}``
 (``FDR::evaluateMotif``, ``calculatePR``, ``calculatePvalues``, ``write``):
 
   for each of --cvFold folds: refine a copy of the seed motif on the other
-  folds (reusing the EM engine), sample --mFold x |heldout| negatives from
-  an order---sOrder background fit to the training positives (on-device
-  PRNG, generator.seqgen), score held-out positives and negatives, pool
-  ZOOPS (max-per-sequence) and MOPS (per-window) scores across folds, then
-  sweep thresholds for precision/recall and per-score empirical p-values.
+  folds (reusing the EM engine), obtain negatives (user-provided via
+  --negSeqFile, folded like the positives; otherwise sampled at
+  --mFold x |heldout| from an order---sOrder background fit to the training
+  positives), score held-out positives and negatives, pool ZOOPS
+  (max-per-sequence) and MOPS (per-window) scores across folds, then sweep
+  thresholds for precision/recall and per-score empirical p-values.
+
+TPU-first fold mechanics (SURVEY.md 3.5 "folds are just masks"): the
+sequence set is tensorized ONCE; a fold's train/test split is expressed by
+zeroing the held-out/held-in rows of the length vector (a zero-length row
+has no valid windows and contributes nothing to counts).  Every fold
+therefore reuses the SAME compiled programs — one EM convergence loop, one
+positive scorer, one negative sampler + scorer — instead of recompiling
+per fold for each subset's shape.
 
 Outputs ``.zoops.stats`` / ``.mops.stats`` TSVs.  Downstream AvRec/AUSFC
 plotting lives in companion repos (SURVEY.md 2: FDR row) and is out of
@@ -18,16 +27,21 @@ scope; the stats files carry all needed columns.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bammmotif2_tpu.evaluation import prcurve
 from bammmotif2_tpu.generator import seqgen
+from bammmotif2_tpu.models import motif as motif_mod
 from bammmotif2_tpu.models.background import BackgroundModel
 from bammmotif2_tpu.models.motif import Motif
-from bammmotif2_tpu.refinement.em import run_em
-from bammmotif2_tpu.scoring.scan import empirical_pvalues, score_set
+from bammmotif2_tpu.ops import escore
+from bammmotif2_tpu.refinement.em import choose_path, prepare_data, run_em
+from bammmotif2_tpu.scoring.scan import empirical_pvalues
 from bammmotif2_tpu.utils.config import Params
 from bammmotif2_tpu.utils.fasta import SequenceSet
 
@@ -60,17 +74,57 @@ def _write_stats(path: str, sweep: dict) -> None:
             )
 
 
+@functools.partial(jax.jit, static_argnames=("A", "K", "W", "path"))
+def _fold_scores(v: tuple, data: dict, lens, *, A: int, K: int, W: int, path: str):
+    """Score every window of the rows selected by ``lens`` (0 = masked out).
+
+    One compiled program serves every fold: only the (static-shape) length
+    vector changes.  Returns (max_per_seq [N], scores [S, N, n_win], mask
+    [N, n_win]); masked rows score NEG_INF / False.
+    """
+    s_flat = motif_mod.log_odds_lut(v, data["bg_flat"])
+    if path.startswith("pallas"):
+        from bammmotif2_tpu.ops import pallas_em
+
+        scores, mask = pallas_em.window_scores(
+            s_flat, data["qidx"], lens, data["map5"],
+            A=A, K=K, W=W, interpret=path.endswith("interpret"),
+        )
+    else:
+        scores, mask = escore.window_scores(s_flat, data["cidx"], lens, W)
+    return jnp.max(scores, axis=(0, 2)), scores, mask
+
+
+def _collect_scores(v: tuple, data: dict, lens_np: np.ndarray, row_sel: np.ndarray,
+                    *, A: int, K: int, W: int, path: str):
+    """ZOOPS maxima + pooled MOPS window scores for the selected rows."""
+    lens_dev = jnp.asarray(np.where(row_sel, lens_np, 0).astype(lens_np.dtype))
+    max_s, scores, mask = _fold_scores(v, data, lens_dev, A=A, K=K, W=W, path=path)
+    max_h = np.asarray(max_s)[row_sel]
+    scores_h = np.asarray(scores)
+    mask_h = np.broadcast_to(np.asarray(mask)[None], scores_h.shape)
+    return max_h, scores_h[mask_h]
+
+
 def evaluate_motif(
     seed_motif: Motif,
     bg: BackgroundModel,
     sset: SequenceSet,
     params: Params | None = None,
     refine: str | None = None,
+    neg_set: SequenceSet | None = None,
 ) -> FDRResult:
     """k-fold CV FDR analysis (``FDR::evaluateMotif``).
 
     ``refine``: 'EM' (default), 'CGS', or None (score the seed as-is).
     Folds are assigned round-robin by sequence index (deterministic).
+
+    ``neg_set``: user-provided negatives (``--negSeqFile``).  When given,
+    they are folded round-robin like the positives and the held-out
+    negative fold is scored against the fold-trained motif — fully
+    deterministic FDR statistics (the reference scores provided negatives
+    the same way).  When absent, negatives are sampled per fold from an
+    order---sOrder background fit to the TRAINING positives.
     """
     params = params or Params(FDR=True)
     if refine is None:
@@ -78,50 +132,99 @@ def evaluate_motif(
     n_folds = max(1, params.cvFold)
     fold_of = np.arange(sset.n) % n_folds
 
+    A, K, W = seed_motif.A, seed_motif.K, seed_motif.W
+    data = prepare_data(sset, bg, K, params.ss)
+    lens_np = np.asarray(sset.lens, np.int32)
+    path = choose_path(params, K, A=A)
+
+    if neg_set is not None:
+        neg_fold_of = np.arange(neg_set.n) % n_folds
+        neg_data = prepare_data(neg_set, bg, K, params.ss)
+        neg_lens_np = np.asarray(neg_set.lens, np.int32)
+    else:
+        # static sampled-negative geometry shared by every fold: row count
+        # padded to mFold x (largest fold), lengths padded to the global max
+        fold_sizes = np.bincount(fold_of, minlength=n_folds)
+        n_neg_pad = int(fold_sizes.max()) * max(params.mFold, 1)
+        neg_pad_len = int(lens_np.max()) if lens_np.size else 0
+
     pos_zoops, neg_zoops = [], []
     pos_mops, neg_mops = [], []
     for f in range(n_folds):
-        test_idx = np.nonzero(fold_of == f)[0]
-        train_idx = np.nonzero(fold_of != f)[0]
-        if len(test_idx) == 0:
+        test_sel = fold_of == f
+        train_sel = ~test_sel
+        if not test_sel.any():
             continue
-        test_set = sset.subset(test_idx)
-        train_set = sset.subset(train_idx) if len(train_idx) else test_set
 
         m = seed_motif.copy()
-        if len(train_idx):
+        if train_sel.any():
+            # train on the SAME tensors with held-out rows length-masked;
+            # identical shapes every fold -> one compiled EM/CGS program
+            tdata = {
+                **data,
+                "lens": jnp.asarray(np.where(train_sel, lens_np, 0)),
+            }
+            n_train = int(train_sel.sum())
             if refine == "EM":
-                run_em(m, bg, train_set, params)
+                run_em(m, bg, sset, params, data=tdata, n_real=n_train)
             elif refine == "CGS":
                 from bammmotif2_tpu.refinement.gibbs import run_gibbs
 
-                run_gibbs(m, bg, train_set, params)
+                run_gibbs(m, bg, sset, params, data=tdata, n_real=n_train)
 
-        # negatives: order-sOrder model fit to TRAINING positives
-        bg_fit = BackgroundModel.from_sequence_set(
-            train_set, order=params.sOrder, alpha=params.bgModelAlpha, ss=params.ss
+        v = tuple(jnp.asarray(vk, jnp.float32) for vk in m.v)
+        pz, pm = _collect_scores(
+            v, data, lens_np, test_sel, A=A, K=K, W=W, path=path
         )
-        neg_set = seqgen.generate_neg_set(
-            bg_fit, test_set.lens, m_fold=params.mFold, seed=params.seed + f
-        )
+        pos_zoops.append(pz)
+        pos_mops.append(pm)
 
-        pos_scan = score_set(m, bg, test_set, ss=params.ss)
-        neg_scan = score_set(m, bg, neg_set, ss=params.ss)
-        pos_zoops.append(pos_scan.max_scores)
-        neg_zoops.append(neg_scan.max_scores)
-        pos_mops.append(pos_scan.all_window_scores())
-        neg_mops.append(neg_scan.all_window_scores())
+        if neg_set is not None:
+            neg_sel = neg_fold_of == f
+            if neg_sel.any():
+                nz, nm = _collect_scores(
+                    v, neg_data, neg_lens_np, neg_sel, A=A, K=K, W=W, path=path
+                )
+                neg_zoops.append(nz)
+                neg_mops.append(nm)
+        else:
+            # negatives: order-sOrder model fit to TRAINING positives
+            train_set = (
+                sset.subset(np.nonzero(train_sel)[0])
+                if train_sel.any()
+                else sset.subset(np.nonzero(test_sel)[0])
+            )
+            bg_fit = BackgroundModel.from_sequence_set(
+                train_set, order=params.sOrder, alpha=params.bgModelAlpha,
+                ss=params.ss,
+            )
+            neg_sample = seqgen.generate_neg_set(
+                bg_fit, lens_np[test_sel], m_fold=params.mFold,
+                seed=params.seed + f, n_pad=n_neg_pad, pad_len=neg_pad_len,
+            )
+            sdata = prepare_data(neg_sample, bg, K, params.ss)
+            nz, nm = _collect_scores(
+                v, sdata, np.asarray(neg_sample.lens, np.int32),
+                np.asarray(neg_sample.lens) > 0, A=A, K=K, W=W, path=path,
+            )
+            neg_zoops.append(nz)
+            neg_mops.append(nm)
 
     pz = np.concatenate(pos_zoops)
-    nz = np.concatenate(neg_zoops)
+    nz = np.concatenate(neg_zoops) if neg_zoops else np.zeros(0)
     pm = np.concatenate(pos_mops)
-    nm = np.concatenate(neg_mops)
+    nm = np.concatenate(neg_mops) if neg_mops else np.zeros(0)
 
+    # FP normalization: sampled negatives are an mFold-times oversample of
+    # the positives; user-provided negatives count at their true ratio
+    m_fold_eff = (
+        max(params.mFold, 1) if neg_set is None else neg_set.n / max(sset.n, 1)
+    )
     return FDRResult(
-        zoops=prcurve.threshold_sweep(pz, nz, params.mFold),
-        # negatives share the positives' length distribution, so the MOPS
-        # window count is also mFold x the positive window count
-        mops=prcurve.threshold_sweep(pm, nm, params.mFold),
+        zoops=prcurve.threshold_sweep(pz, nz, m_fold_eff),
+        # negatives share the positives' length distribution (sampled case),
+        # so the MOPS window count is also mFold x the positive window count
+        mops=prcurve.threshold_sweep(pm, nm, m_fold_eff),
         pos_pvalues=empirical_pvalues(pz, nz),
         m_fold=params.mFold,
     )

@@ -15,8 +15,13 @@ import numpy as np
 from bammmotif2_tpu.scoring.scan import empirical_pvalues
 
 
-def threshold_sweep(pos: np.ndarray, neg: np.ndarray, m_fold: int) -> dict:
+def threshold_sweep(pos: np.ndarray, neg: np.ndarray, m_fold: float) -> dict:
     """Sweep thresholds over pooled descending scores.
+
+    ``m_fold``: the negative oversampling factor FP counts are divided by
+    so precision/recall refer to the positive-set scale — the --mFold
+    integer for sampled negatives, or #neg/#pos (possibly < 1) for
+    user-provided negative sets.
 
     Returns dict of arrays (one entry per pooled score, descending):
     score, tp, fp (mFold-normalized), precision, recall, pvalue.
@@ -28,7 +33,7 @@ def threshold_sweep(pos: np.ndarray, neg: np.ndarray, m_fold: int) -> dict:
     order = np.argsort(-pool, kind="stable")
     pool, is_pos = pool[order], is_pos[order]
     tp = np.cumsum(is_pos).astype(np.float64)
-    fp = np.cumsum(~is_pos).astype(np.float64) / max(m_fold, 1)
+    fp = np.cumsum(~is_pos).astype(np.float64) / (m_fold if m_fold > 0 else 1)
     precision = tp / np.maximum(tp + fp, 1e-30)
     recall = tp / max(pos.size, 1)
     pvalue = empirical_pvalues(pool, neg)

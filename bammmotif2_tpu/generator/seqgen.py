@@ -74,16 +74,33 @@ def generate_neg_set(
     m_fold: int = 1,
     seed: int = 42,
     name_prefix: str = "neg",
+    n_pad: int | None = None,
+    pad_len: int | None = None,
 ) -> SequenceSet:
     """Sample a negative set: lengths = positive lengths repeated m_fold
     times, bases from the order-sOrder model fit to the positives.
+
+    ``n_pad`` / ``pad_len``: pad the sequence count (with zero-length rows)
+    and the length axis to fixed sizes so callers that sample per CV fold
+    (evaluation.fdr) keep STATIC tensor shapes across folds — one compiled
+    sampler/scorer program instead of one per fold.
 
     Parity: ``SeqGenerator::generateNegSeqSet`` (mFold x |pos| sequences).
     """
     A = bg_fit.alphabet.size
     s_order = bg_fit.order
     lens_rep = np.tile(np.asarray(lens, np.int32), m_fold)
-    L = int(lens_rep.max())
+    if n_pad is not None:
+        if n_pad < lens_rep.size:
+            raise ValueError(f"n_pad {n_pad} < {lens_rep.size} sampled rows")
+        lens_rep = np.concatenate(
+            [lens_rep, np.zeros(n_pad - lens_rep.size, np.int32)]
+        )
+    L = int(lens_rep.max()) if lens_rep.size else 0
+    if pad_len is not None:
+        if pad_len < L:
+            raise ValueError(f"pad_len {pad_len} < max sampled length {L}")
+        L = pad_len
     key = jax.random.PRNGKey(seed)
     trans = tuple(jnp.asarray(v, jnp.float32) for v in bg_fit.v)
     codes = np.asarray(

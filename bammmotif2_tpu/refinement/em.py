@@ -277,8 +277,14 @@ def run_em(
     verbose: bool | None = None,
     mesh=None,
     checkpoint_fn=None,
+    n_real: int | None = None,
 ) -> EMResult:
     """Refine ``motif`` in place with ZOOPS EM (``EM::optimize``).
+
+    ``n_real``: number of REAL sequences in ``data`` when some rows are
+    masked out with length 0 (CV folds mask the held-out fold this way —
+    SURVEY.md 3.5 "folds are just masks"; also used for shard padding).
+    Defaults to the row count of ``data``.
 
     With ``mesh`` (jax.sharding.Mesh with a 'data' axis): sequences shard
     over the data axis, the model replicates, and GSPMD inserts the one
@@ -296,7 +302,7 @@ def run_em(
     if data is None:
         data = prepare_data(sset, bg, K, params.ss)
 
-    n_real = int(data["lens"].shape[0])
+    n_real = int(data["lens"].shape[0]) if n_real is None else int(n_real)
     n_win = int(data["cidx"].shape[0]) * int(
         np.maximum(np.asarray(data["lens"]) - W + 1, 0).sum()
     )

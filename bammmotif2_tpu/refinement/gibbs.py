@@ -103,6 +103,7 @@ def gibbs_step(
     data: dict,
     f_bg,
     default_alphas,
+    n_real,
     *,
     A: int,
     K: int,
@@ -168,7 +169,10 @@ def gibbs_step(
     n_occ = occupied.sum()
     key, sub_q = jax.random.split(key)
     if sample_q:
-        q_new = jax.random.beta(sub_q, n_occ + 1.0, N - n_occ + 1.0)
+        # q ~ Beta(#occupied + 1, #real - #occupied + 1); n_real excludes
+        # zero-length mask/pad rows (CV fold masking), which can never be
+        # occupied and must not bias the Beta posterior
+        q_new = jax.random.beta(sub_q, n_occ + 1.0, n_real - n_occ + 1.0)
         q_new = jnp.clip(q_new, 1e-4, 1 - 1e-4)
     else:
         q_new = q
@@ -199,6 +203,7 @@ def gibbs_optimize(
     data: dict,
     f_bg,
     default_alphas,
+    n_real,
     *,
     A: int,
     K: int,
@@ -217,7 +222,7 @@ def gibbs_optimize(
     def body(carry, _):
         v, q, la, key = carry
         v, q, la, key, ll, n_occ = gibbs_step(
-            v, q, la, key, data, f_bg, default_alphas,
+            v, q, la, key, data, f_bg, default_alphas, n_real,
             A=A, K=K, W=W, sample_z=sample_z, sample_q=sample_q,
             learn_alpha=learn_alpha, path=path,
         )
@@ -235,12 +240,18 @@ def run_gibbs(
     sset: SequenceSet,
     params: Params | None = None,
     data=None,
+    n_real: int | None = None,
 ) -> GibbsResult:
-    """Refine ``motif`` in place by CGS (``GibbsSampling::optimize``)."""
+    """Refine ``motif`` in place by CGS (``GibbsSampling::optimize``).
+
+    ``n_real``: number of REAL sequences when ``data`` rows are masked out
+    with length 0 (CV fold masking, cf. run_em)."""
     params = params or Params(CGS=True)
     A, K, W = motif.A, motif.K, motif.W
     if data is None:
         data = prepare_data(sset, bg, K, params.ss)
+    if n_real is None:
+        n_real = int(data["lens"].shape[0])
 
     v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
     q = jnp.asarray(params.q, jnp.float32)
@@ -254,6 +265,7 @@ def run_gibbs(
     t0 = time.perf_counter()
     v, q, log_alphas, lls, _n_occs = gibbs_optimize(
         v, q, log_alphas, key, data, f_bg, default_alphas,
+        jnp.asarray(n_real, jnp.float32),
         A=A, K=K, W=W,
         sample_z=not params.noZSampling,
         sample_q=not params.noQSampling,

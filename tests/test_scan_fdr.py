@@ -174,6 +174,90 @@ class TestFDR:
             assert len(open(p).readlines()) > 1
 
 
+class TestFDRFoldMasks:
+    def test_fold_mask_equals_subset_training(self):
+        # SURVEY 3.5 "folds are just masks": EM on the full tensorization
+        # with held-out rows length-masked == EM on the compacted subset
+        import jax.numpy as jnp
+
+        from bammmotif2_tpu.refinement.em import prepare_data, run_em
+
+        sset = planted_set(n=60, l=50, motif=MOTIF, q=0.8, noise=0.05)
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+        params = Params(EM=True, q=0.5, maxEMIterations=15, use_pallas=False)
+        train_sel = np.arange(sset.n) % 3 != 0
+
+        def seed():
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+
+        m_sub = seed()
+        r_sub = run_em(m_sub, bg, sset.subset(np.nonzero(train_sel)[0]), params)
+
+        m_mask = seed()
+        data = prepare_data(sset, bg, 2, False)
+        tdata = {
+            **data,
+            "lens": jnp.asarray(np.where(train_sel, sset.lens, 0).astype(np.int32)),
+        }
+        r_mask = run_em(
+            m_mask, bg, sset, params, data=tdata, n_real=int(train_sel.sum())
+        )
+
+        assert r_sub.iterations == r_mask.iterations
+        assert r_sub.ll == pytest.approx(r_mask.ll, rel=1e-5)
+        for a, b in zip(m_sub.v, m_mask.v):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_folds_share_compiled_programs(self, trained):
+        from bammmotif2_tpu.evaluation import fdr as fdr_mod
+        from bammmotif2_tpu.refinement import em as em_mod
+
+        sset, bg, _ = trained
+        seed = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2,
+            f_bg=sset.base_frequencies(),
+        )
+        params = Params(
+            FDR=True, cvFold=4, mFold=2, q=0.5, maxEMIterations=10,
+            use_pallas=False,
+        )
+        em_before = len(em_mod._AOT_CACHE)
+        sc_before = fdr_mod._fold_scores._cache_size()
+        evaluate_motif(seed, bg, sset, params)
+        # 4 folds share ONE EM program and <=2 scorer programs (pos + neg)
+        assert len(em_mod._AOT_CACHE) - em_before <= 1
+        assert fdr_mod._fold_scores._cache_size() - sc_before <= 2
+
+
+class TestFDRUserNegatives:
+    def test_deterministic_and_distinct_from_sampled(self, trained):
+        sset, bg, _ = trained
+        neg = planted_set(n=150, l=80, motif="ACGTACGT", q=0.0, noise=1.0)
+        seed = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2,
+            f_bg=sset.base_frequencies(),
+        )
+        params = Params(
+            FDR=True, cvFold=3, mFold=2, q=0.5, maxEMIterations=10,
+            use_pallas=False,
+        )
+        r1 = evaluate_motif(seed.copy(), bg, sset, params, neg_set=neg)
+        r2 = evaluate_motif(seed.copy(), bg, sset, params, neg_set=neg)
+        np.testing.assert_array_equal(r1.zoops["score"], r2.zoops["score"])
+        np.testing.assert_array_equal(r1.mops["pvalue"], r2.mops["pvalue"])
+        np.testing.assert_array_equal(r1.pos_pvalues, r2.pos_pvalues)
+        # and they really came from the provided negatives, not sampling
+        r3 = evaluate_motif(seed.copy(), bg, sset, params)
+        assert r3.zoops["score"].shape != r1.zoops["score"].shape or not np.allclose(
+            r3.zoops["score"], r1.zoops["score"]
+        )
+        # strongly planted motif still separates against real negatives
+        assert prcurve.average_recall(r1.zoops) > 0.6
+
+
 class TestMaskMotif:
     def test_masking_removes_planted_sites(self):
         from bammmotif2_tpu.generator.seqgen import mask_motif

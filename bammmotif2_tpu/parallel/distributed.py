@@ -10,9 +10,14 @@ JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), after which
 riding ICI.
 
 Input sharding: each host loads the full FASTA (host RAM is not the
-bottleneck for <=100k sequences) and jax.device_put with a NamedSharding
-lays each host's addressable shard onto its chips; outputs are gathered
-implicitly because the model tensors are replicated.
+bottleneck for <=100k sequences) and lays down only its addressable shards
+(``parallel.mesh`` uses jax.make_array_from_callback when
+process_count > 1); outputs are gathered implicitly because the model
+tensors are replicated.
+
+CPU multi-process (the hermetic test path, tests/test_multiprocess.py)
+needs the gloo cross-process collective backend; ``initialize`` turns it
+on before the first backend touch.
 """
 
 from __future__ import annotations
@@ -21,19 +26,33 @@ import os
 
 import jax
 
+_initialized = False
+
 
 def initialize(force: bool = False) -> bool:
     """Initialize jax.distributed when running under a multi-process launch.
 
-    Returns True if distributed mode is active.  Safe to call always:
-    no-op for single-process runs unless ``force`` or env vars say
-    otherwise.
+    Returns True if distributed mode is active.  Safe to call always: a
+    launch without JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES (and without
+    ``force``) is treated as single-process and nothing is touched.
+
+    Must run BEFORE anything initializes the JAX backends — probing
+    ``jax.process_count()`` first would itself create the backends and
+    make ``jax.distributed.initialize`` fail, so the env vars alone decide
+    whether to initialize.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    global _initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
-    if force or (coord and nproc):
+    if not (force or (coord and nproc)):
+        return False  # single-process launch: don't touch the backends
+    if not _initialized:
+        try:
+            # cross-process collectives on the CPU backend (virtual-device
+            # tests, CPU fallbacks) need gloo; harmless for TPU backends
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jax without the knob
         kwargs = {}
         if coord:
             kwargs = dict(
@@ -41,9 +60,12 @@ def initialize(force: bool = False) -> bool:
                 num_processes=int(nproc),
                 process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
             )
-        jax.distributed.initialize(**kwargs)
-        return jax.process_count() > 1
-    return False
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError:
+            pass  # already initialized (e.g. by the launcher)
+        _initialized = True
+    return jax.process_count() > 1
 
 
 def auto_mesh(n_seeds: int = 1):

@@ -37,6 +37,22 @@ def make_mesh(n_data: int | None = None, n_seed: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_data, n_seed), ("data", "seed"))
 
 
+def _put(x, sharding: NamedSharding):
+    """Multi-process-safe device placement.
+
+    ``jax.device_put`` only works when every device of the sharding is
+    addressable; across processes each host instead lays down just ITS
+    shards via make_array_from_callback (every host holds the full array —
+    hosts load the whole FASTA, see parallel.distributed docstring).
+    """
+    if jax.process_count() > 1:
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(
+            xh.shape, sharding, lambda idx: xh[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
 def shard_em_data(mesh: Mesh, data: dict, sentinel: int) -> dict:
     """Shard a prepare_data() dict: index tensors + lens over 'data',
     bg_flat/map5 replicated.  Pads N so GSPMD partitions evenly; pad
@@ -60,19 +76,18 @@ def shard_em_data(mesh: Mesh, data: dict, sentinel: int) -> dict:
     seq_sh = NamedSharding(mesh, P(None, "data", None))
     rep = NamedSharding(mesh, P())
     return {
-        "cidx": jax.device_put(cidx, seq_sh),
-        "qidx": jax.device_put(qidx, seq_sh),
-        "lens": jax.device_put(lens, NamedSharding(mesh, P("data"))),
-        "bg_flat": jax.device_put(data["bg_flat"], rep),
-        "map5": jax.device_put(data["map5"], rep),
+        "cidx": _put(cidx, seq_sh),
+        "qidx": _put(qidx, seq_sh),
+        "lens": _put(lens, NamedSharding(mesh, P("data"))),
+        "bg_flat": _put(data["bg_flat"], rep),
+        "map5": _put(data["map5"], rep),
     }
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (model state) across the whole mesh."""
-    return jax.device_put(
-        tree, NamedSharding(mesh, P())
-    )
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: _put(x, rep), tree)
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int, fill) -> np.ndarray:

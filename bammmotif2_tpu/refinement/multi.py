@@ -90,9 +90,11 @@ def run_em_multi(
                     [alphas, jnp.repeat(alphas[-1:], m_pad, 0)]
                 )
             seed_sh = NamedSharding(mesh, P("seed"))
-            v = jax.device_put(v, seed_sh)
-            q = jax.device_put(q, seed_sh)
-            alphas = jax.device_put(alphas, seed_sh)
+            v = jax.tree_util.tree_map(
+                lambda x: mesh_mod._put(x, seed_sh), v
+            )
+            q = mesh_mod._put(q, seed_sh)
+            alphas = mesh_mod._put(alphas, seed_sh)
 
         loop = _batched_optimize(A, K, W, params.optimizeQ, path,
                                  params.maxEMIterations, mesh=mesh)

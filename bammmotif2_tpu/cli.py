@@ -27,7 +27,7 @@ from bammmotif2_tpu.generator import seqgen
 from bammmotif2_tpu.models.background import BackgroundModel
 from bammmotif2_tpu.models.motifset import load_motifs
 from bammmotif2_tpu.refinement.em import run_em
-from bammmotif2_tpu.refinement.gibbs import run_gibbs
+from bammmotif2_tpu.refinement.gibbs import run_gibbs_multi
 from bammmotif2_tpu.refinement.multi import run_em_multi
 from bammmotif2_tpu.scoring import scan
 from bammmotif2_tpu.utils.alphabet import Alphabet
@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noAlphaOptimization", action="store_true")
     p.add_argument("--noZSampling", action="store_true")
     p.add_argument("--noQSampling", action="store_true")
+    p.add_argument("--cgsBurnIn", type=int, default=0, metavar="N",
+                   help="discard the first N CGS sweeps and estimate the "
+                        "model from counts averaged over the rest "
+                        "(0 = final-sweep behavior)")
     # FDR
     p.add_argument("--FDR", action="store_true")
     p.add_argument("-m", "--mFold", dest="mFold", type=int, default=10)
@@ -222,7 +226,9 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
                     f"q={r.q:.3f}, {r.windows_per_sec:,.0f} windows/s"
                 )
     elif params.CGS:
-        out["cgs_results"] = [run_gibbs(m, bg, pos_set, params) for m in motifs]
+        # all seeds of a (W, K) group sweep in one batched device program,
+        # data-sharded over the mesh (the OpenMP-over-motifs analogue)
+        out["cgs_results"] = run_gibbs_multi(motifs, bg, pos_set, params, mesh=mesh)
         for m, r in zip(motifs, out["cgs_results"]):
             metrics.event(
                 "cgs_done", motif=m.name,

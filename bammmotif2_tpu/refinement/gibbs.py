@@ -12,10 +12,15 @@ program.  Bit-compat tests therefore gate on the deterministic EM path.
 
 Per iteration:
   1. z-sampling: z_n ~ Categorical({absent} + all windows), posterior
-     proportional to the same ZOOPS weights as the EM E-step.
+     proportional to the same ZOOPS weights as the EM E-step.  Each
+     sequence samples with its own counter-derived key
+     (``fold_in(key, n)``), which makes the draw independent of padding
+     and sharding: a mesh-sharded run reproduces the single-device run
+     given the same key.
   2. count rebuild: one-hot scatter of sampled positions (reuses
      ops.escore.mstep_counts with a 0/1 responsibility tensor).
-  3. q-sampling: q ~ Beta(#occupied + 1, #absent + 1)  (--noQSampling off).
+  3. q-sampling: q ~ Beta(#occupied + 1, #real - #occupied + 1)
+     (--noQSampling off; zero-length mask/pad rows are excluded).
   4. alpha update: one gradient-ascent step on the collapsed log posterior
      w.r.t. log alpha_k(j).  The marginal likelihood of the counts given
      alpha is Dirichlet-multinomial with prior mean = the lower-order
@@ -24,6 +29,19 @@ Per iteration:
      reference hand-codes.  Prior: alpha ~ InvGamma(1, scale = default
      alpha_k), a weak prior centered on the paper defaults (the exact
      reference prior could not be verified against the empty mount).
+
+Burn-in (TPU-native extension, --cgsBurnIn N): with N > 0 the first N
+sweeps are discarded and the final model is the Rao-Blackwellized
+posterior mean — v estimated from counts AVERAGED over the post-burn-in
+sweeps — instead of the last sweep's state.  Default 0 keeps the
+reference's final-sweep behavior.
+
+Multi-chip: pass a mesh — sequences shard over the 'data' axis; the
+gather path partitions through GSPMD, the fused Pallas kernel runs per
+shard inside shard_map with an explicit psum count merge
+('pallas_shard', mirroring refinement.em).  run_gibbs_multi batches all
+seeds of a (W, K) group into ONE device program (the reference's
+OpenMP-over-motifs, cf. refinement.multi).
 """
 
 from __future__ import annotations
@@ -40,7 +58,7 @@ from bammmotif2_tpu.models import motif as motif_mod
 from bammmotif2_tpu.models.background import BackgroundModel
 from bammmotif2_tpu.models.motif import Motif
 from bammmotif2_tpu.ops import encode, escore
-from bammmotif2_tpu.refinement.em import prepare_data
+from bammmotif2_tpu.refinement.em import _aot_compile, choose_path, prepare_data
 from bammmotif2_tpu.utils.config import Params
 from bammmotif2_tpu.utils.fasta import SequenceSet
 
@@ -50,9 +68,10 @@ class GibbsResult:
     iterations: int
     ll: float
     q: float
-    seconds: float
+    seconds: float       # warm execution time (compile/trace time excluded)
     ll_history: list
     alphas: np.ndarray
+    compile_seconds: float = 0.0
 
 
 def _log_alpha_posterior(log_alphas, counts, f_bg, default_alphas):
@@ -93,7 +112,9 @@ def _log_alpha_posterior(log_alphas, counts, f_bg, default_alphas):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path"),
+    static_argnames=(
+        "A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path", "mesh"
+    ),
 )
 def gibbs_step(
     v: tuple,
@@ -113,12 +134,38 @@ def gibbs_step(
     learn_alpha: bool,
     path: str = "gather",
     alpha_lr: float = 0.05,
+    mesh=None,
 ):
-    """One batch-synchronous CGS sweep. Returns new state + diagnostics."""
+    """One batch-synchronous CGS sweep.
+
+    Returns (v, q, log_alphas, key, ll, n_occ, counts); ``counts`` is the
+    per-order tuple of this sweep's hard counts (consumed by the burn-in
+    averaging in gibbs_optimize).
+    """
     cidx, lens, bg_flat = data["cidx"], data["lens"], data["bg_flat"]
     R = encode.num_rows(A, K)
     s_flat = motif_mod.log_odds_lut(v, bg_flat)
-    if path.startswith("pallas"):
+    if path.startswith("pallas_shard"):
+        from jax.sharding import PartitionSpec as P
+
+        from bammmotif2_tpu.ops import pallas_em
+
+        interp = path.endswith("interpret")
+
+        def score_shard(qidx_s, lens_s, s_flat_r, map5_r):
+            return pallas_em.window_scores(
+                s_flat_r, qidx_s, lens_s, map5_r,
+                A=A, K=K, W=W, interpret=interp,
+            )
+
+        scores, mask = jax.shard_map(
+            score_shard,
+            mesh=mesh,
+            in_specs=(P(None, "data", None), P("data"), P(), P()),
+            out_specs=(P(None, "data", None), P("data")),
+            check_vma=False,  # pallas_call outs carry no vma annotation
+        )(data["qidx"], lens, s_flat, data["map5"])
+    elif path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 
         scores, mask = pallas_em.window_scores(
@@ -142,7 +189,13 @@ def gibbs_step(
 
     key, sub = jax.random.split(key)
     if sample_z:
-        z = jax.random.categorical(sub, flat, axis=-1)  # [N]
+        # per-sequence counter-derived keys: the draw for sequence n
+        # depends only on (sub, n), never on N — identical across shard
+        # layouts and row padding
+        row_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            sub, jnp.arange(N)
+        )
+        z = jax.vmap(jax.random.categorical)(row_keys, flat)  # [N]
     else:
         z = jnp.argmax(flat, axis=-1)
     occupied = z > 0
@@ -153,7 +206,29 @@ def gibbs_step(
     r = ((cols == zi[:, None]) & occupied[:, None]).astype(jnp.float32)
     r = jnp.moveaxis(r.reshape(N, S, n_win), 1, 0)  # [S, N, n_win]
 
-    if path.startswith("pallas"):
+    if path.startswith("pallas_shard"):
+        from jax.sharding import PartitionSpec as P
+
+        from bammmotif2_tpu.ops import pallas_em
+
+        L = cidx.shape[2]
+        r_snl = jnp.pad(r, ((0, 0), (0, 0), (0, L - n_win)))
+
+        def count_shard(r_s, qidx_s, map5_r):
+            C = pallas_em.counts_from_r(
+                r_s, qidx_s, map5_r,
+                A=A, K=K, W=W, R=R, interpret=interp,
+            )
+            return jax.lax.psum(C, "data")
+
+        C = jax.shard_map(
+            count_shard,
+            mesh=mesh,
+            in_specs=(P(None, "data", None), P(None, "data", None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(r_snl, data["qidx"], data["map5"])
+    elif path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 
         L = cidx.shape[2]
@@ -170,8 +245,8 @@ def gibbs_step(
     key, sub_q = jax.random.split(key)
     if sample_q:
         # q ~ Beta(#occupied + 1, #real - #occupied + 1); n_real excludes
-        # zero-length mask/pad rows (CV fold masking), which can never be
-        # occupied and must not bias the Beta posterior
+        # zero-length mask/pad rows (CV fold masking, shard padding), which
+        # can never be occupied and must not bias the Beta posterior
         q_new = jax.random.beta(sub_q, n_occ + 1.0, n_real - n_occ + 1.0)
         q_new = jnp.clip(q_new, 1e-4, 1 - 1e-4)
     else:
@@ -184,15 +259,19 @@ def gibbs_step(
 
     v_new = motif_mod.update_v(counts, jnp.exp(log_alphas), f_bg)
 
-    # ZOOPS marginal ll for monitoring (same statistic as EM)
+    # ZOOPS marginal ll for monitoring (same statistic as EM); zero-length
+    # mask/pad rows each contribute exactly log(1-q) — removed here so
+    # sharded/masked runs report the same ll as compact ones
     _, _, ll = escore.zoops_posterior(scores, mask, q)
-    return v_new, q_new, log_alphas, key, ll, n_occ
+    ll = ll - (N - n_real) * jnp.log1p(-q)
+    return v_new, q_new, log_alphas, key, ll, n_occ, counts
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path", "n_iters"
+        "A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path",
+        "n_iters", "burn_in", "mesh",
     ),
 )
 def gibbs_optimize(
@@ -213,25 +292,36 @@ def gibbs_optimize(
     learn_alpha: bool,
     path: str,
     n_iters: int,
+    burn_in: int = 0,
+    mesh=None,
 ):
     """Whole CGS run as one device program (lax.scan over sweeps).
 
-    Returns (v, q, log_alphas, ll_history [n_iters], n_occ_history).
+    Returns (v, q, log_alphas, ll_history [n_iters], n_occ_history,
+    avg_counts) where avg_counts averages the post-burn-in sweeps' hard
+    counts (meaningful when burn_in > 0; see module docstring).
     """
 
-    def body(carry, _):
-        v, q, la, key = carry
-        v, q, la, key, ll, n_occ = gibbs_step(
+    def body(carry, i):
+        v, q, la, key, acc = carry
+        v, q, la, key, ll, n_occ, counts = gibbs_step(
             v, q, la, key, data, f_bg, default_alphas, n_real,
             A=A, K=K, W=W, sample_z=sample_z, sample_q=sample_q,
-            learn_alpha=learn_alpha, path=path,
+            learn_alpha=learn_alpha, path=path, mesh=mesh,
         )
-        return (v, q, la, key), (ll, n_occ)
+        take = (i >= burn_in).astype(jnp.float32)
+        acc = tuple(a + take * c for a, c in zip(acc, counts))
+        return (v, q, la, key, acc), (ll, n_occ)
 
-    (v, q, log_alphas, key), (lls, n_occs) = jax.lax.scan(
-        body, (v, q, log_alphas, key), None, length=n_iters
+    acc0 = tuple(
+        jnp.zeros((A ** (k + 1), W), jnp.float32) for k in range(K + 1)
     )
-    return v, q, log_alphas, lls, n_occs
+    (v, q, log_alphas, key, acc), (lls, n_occs) = jax.lax.scan(
+        body, (v, q, log_alphas, key, acc0), jnp.arange(n_iters)
+    )
+    n_avg = max(n_iters - burn_in, 1)
+    acc = tuple(a / n_avg for a in acc)
+    return v, q, log_alphas, lls, n_occs, acc
 
 
 def run_gibbs(
@@ -241,11 +331,20 @@ def run_gibbs(
     params: Params | None = None,
     data=None,
     n_real: int | None = None,
+    mesh=None,
+    key=None,
 ) -> GibbsResult:
     """Refine ``motif`` in place by CGS (``GibbsSampling::optimize``).
 
     ``n_real``: number of REAL sequences when ``data`` rows are masked out
-    with length 0 (CV fold masking, cf. run_em)."""
+    with length 0 (CV fold masking, cf. run_em).
+
+    ``mesh``: shard sequences over the 'data' axis (multi-chip/multi-host);
+    the per-sequence counter-derived sampling keys make the sharded run
+    reproduce the single-device run given the same ``key``.
+
+    ``key``: explicit PRNG key (defaults to PRNGKey(params.seed)).
+    """
     params = params or Params(CGS=True)
     A, K, W = motif.A, motif.K, motif.W
     if data is None:
@@ -253,29 +352,49 @@ def run_gibbs(
     if n_real is None:
         n_real = int(data["lens"].shape[0])
 
+    if mesh is not None:
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
+
+        data = mesh_mod.shard_em_data(mesh, data, encode.num_rows(A, K))
+
     v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
     q = jnp.asarray(params.q, jnp.float32)
     log_alphas = jnp.log(jnp.asarray(motif.alphas, jnp.float32))
     default_alphas = jnp.asarray(motif.alphas, jnp.float32)
     f_bg = jnp.asarray(motif.f_bg, jnp.float32)
-    key = jax.random.PRNGKey(params.seed)
+    if key is None:
+        key = jax.random.PRNGKey(params.seed)
+    if mesh is not None:
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
 
-    from bammmotif2_tpu.refinement.em import choose_path
+        v, q, log_alphas, default_alphas, f_bg, key = mesh_mod.replicate(
+            mesh, (v, q, log_alphas, default_alphas, f_bg, key)
+        )
 
-    t0 = time.perf_counter()
-    v, q, log_alphas, lls, _n_occs = gibbs_optimize(
+    n_iters = params.maxCGSIterations
+    burn_in = min(getattr(params, "cgsBurnIn", 0), max(n_iters - 1, 0))
+    path = choose_path(params, K, sharded=mesh is not None, A=A)
+    args = (
         v, q, log_alphas, key, data, f_bg, default_alphas,
         jnp.asarray(n_real, jnp.float32),
+    )
+    statics = dict(
         A=A, K=K, W=W,
         sample_z=not params.noZSampling,
         sample_q=not params.noQSampling,
         learn_alpha=not params.noAlphaOptimization,
-        path=choose_path(params, K, A=A),
-        n_iters=params.maxCGSIterations,
+        path=path, n_iters=n_iters, burn_in=burn_in, mesh=mesh,
     )
-    ll_hist = [float(x) for x in np.asarray(lls)]
+    compiled, compile_seconds = _aot_compile(gibbs_optimize, args, statics)
+    t0 = time.perf_counter()
+    v, q, log_alphas, lls, _n_occs, acc = compiled(*args)
+    jax.block_until_ready((v, q, log_alphas, lls))
     seconds = time.perf_counter() - t0
+    ll_hist = [float(x) for x in np.asarray(lls)]
 
+    if burn_in > 0:
+        # Rao-Blackwellized posterior mean over the kept sweeps
+        v = motif_mod.update_v(acc, jnp.exp(log_alphas), f_bg)
     motif.v = [np.asarray(vk, np.float64) for vk in v]
     motif.alphas = np.asarray(jnp.exp(log_alphas), np.float64)
     return GibbsResult(
@@ -285,4 +404,148 @@ def run_gibbs(
         seconds=seconds,
         ll_history=ll_hist,
         alphas=np.asarray(jnp.exp(log_alphas)),
+        compile_seconds=compile_seconds,
     )
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_gibbs_loop(
+    A: int, K: int, W: int, M: int, sample_z: bool, sample_q: bool,
+    learn_alpha: bool, path: str, n_iters: int, burn_in: int, mesh=None,
+):
+    """Batched CGS over the seed axis: all M seeds of a (W, K) group sweep
+    inside ONE lax.scan program (statically unrolled per seed — NOT vmap,
+    the Pallas batching rule costs ~15x; cf. refinement.multi).
+
+    lru_cached by static configuration so repeat calls reuse the compiled
+    closure.  Sequences may shard over a mesh 'data' axis; the seed axis
+    stays replicated (CGS state is tiny, z-sampling is the data-parallel
+    cost).
+    """
+
+    @jax.jit
+    def loop(v, q, la, keys, data, f_bg, da, n_real):
+        acc0 = tuple(
+            jnp.zeros((M, A ** (k + 1), W), jnp.float32) for k in range(K + 1)
+        )
+
+        def body(carry, i):
+            v, q, la, keys, acc = carry
+            outs = [
+                gibbs_step(
+                    tuple(vk[m] for vk in v), q[m], la[m], keys[m], data,
+                    f_bg, da[m], n_real,
+                    A=A, K=K, W=W, sample_z=sample_z, sample_q=sample_q,
+                    learn_alpha=learn_alpha, path=path, mesh=mesh,
+                )
+                for m in range(M)
+            ]
+            v2 = tuple(
+                jnp.stack([o[0][k] for o in outs]) for k in range(K + 1)
+            )
+            q2 = jnp.stack([o[1] for o in outs])
+            la2 = jnp.stack([o[2] for o in outs])
+            keys2 = jnp.stack([o[3] for o in outs])
+            lls = jnp.stack([o[4] for o in outs])
+            noccs = jnp.stack([o[5] for o in outs])
+            take = (i >= burn_in).astype(jnp.float32)
+            acc = tuple(
+                a + take * jnp.stack([o[6][k] for o in outs])
+                for k, a in enumerate(acc)
+            )
+            return (v2, q2, la2, keys2, acc), (lls, noccs)
+
+        (v, q, la, keys, acc), (lls, noccs) = jax.lax.scan(
+            body, (v, q, la, keys, acc0), jnp.arange(n_iters)
+        )
+        n_avg = max(n_iters - burn_in, 1)
+        acc = tuple(a / n_avg for a in acc)
+        return v, q, la, lls, noccs, acc
+
+    return loop
+
+
+def run_gibbs_multi(
+    motifs: list,
+    bg: BackgroundModel,
+    sset: SequenceSet,
+    params: Params | None = None,
+    mesh=None,
+) -> list:
+    """Batched CGS over a MotifSet; refines every motif in place.
+
+    The TPU analogue of the reference driver's OpenMP-over-motifs for
+    --CGS: seeds of equal (W, K) sweep in one program sharing the sequence
+    tensors.  Seed m samples with key fold_in(PRNGKey(params.seed), m), so
+    ``run_gibbs(motif, ..., key=fold_in(base, m))`` reproduces member m
+    exactly.  Returns a list of GibbsResult aligned with ``motifs``.
+    """
+    params = params or Params(CGS=True)
+    results: list = [None] * len(motifs)
+
+    groups: dict = {}
+    for i, m in enumerate(motifs):
+        groups.setdefault((m.W, m.K), []).append(i)
+
+    base_key = jax.random.PRNGKey(params.seed)
+    for (W, K), idxs in groups.items():
+        group = [motifs[i] for i in idxs]
+        A = group[0].A
+        M = len(group)
+        data = prepare_data(sset, bg, K, params.ss)
+        n_real = int(data["lens"].shape[0])
+        if mesh is not None:
+            from bammmotif2_tpu.parallel import mesh as mesh_mod
+
+            data = mesh_mod.shard_em_data(mesh, data, encode.num_rows(A, K))
+
+        v = tuple(
+            jnp.stack([jnp.asarray(m.v[k], jnp.float32) for m in group])
+            for k in range(K + 1)
+        )
+        q = jnp.full((M,), params.q, jnp.float32)
+        la = jnp.log(jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in group]))
+        da = jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in group])
+        f_bg = jnp.asarray(group[0].f_bg, jnp.float32)
+        keys = jnp.stack([jax.random.fold_in(base_key, m) for m in range(M)])
+        if mesh is not None:
+            from bammmotif2_tpu.parallel import mesh as mesh_mod
+
+            v, q, la, da, f_bg, keys = mesh_mod.replicate(
+                mesh, (v, q, la, da, f_bg, keys)
+            )
+
+        n_iters = params.maxCGSIterations
+        burn_in = min(getattr(params, "cgsBurnIn", 0), max(n_iters - 1, 0))
+        path = choose_path(params, K, sharded=mesh is not None, A=A)
+        loop = _batched_gibbs_loop(
+            A, K, W, M,
+            not params.noZSampling, not params.noQSampling,
+            not params.noAlphaOptimization, path, n_iters, burn_in, mesh,
+        )
+        t0 = time.perf_counter()
+        v, q, la, lls, _noccs, acc = loop(
+            v, q, la, keys, data, f_bg, da, jnp.asarray(n_real, jnp.float32)
+        )
+        jax.block_until_ready((v, q, la, lls))
+        seconds = time.perf_counter() - t0
+
+        lls_h = np.asarray(lls)  # [n_iters, M]
+        for gi, i in enumerate(idxs):
+            if burn_in > 0:
+                v_gi = motif_mod.update_v(
+                    tuple(a[gi] for a in acc), jnp.exp(la[gi]), f_bg
+                )
+            else:
+                v_gi = tuple(v[k][gi] for k in range(K + 1))
+            motifs[i].v = [np.asarray(vk, np.float64) for vk in v_gi]
+            motifs[i].alphas = np.asarray(jnp.exp(la[gi]), np.float64)
+            results[i] = GibbsResult(
+                iterations=n_iters,
+                ll=float(lls_h[-1, gi]) if n_iters else float("nan"),
+                q=float(q[gi]),
+                seconds=seconds,
+                ll_history=[float(x) for x in lls_h[:, gi]],
+                alphas=np.asarray(jnp.exp(la[gi])),
+            )
+    return results

@@ -59,6 +59,9 @@ class Params:
     noAlphaOptimization: bool = False       # --noAlphaOptimization
     noZSampling: bool = False               # --noZSampling
     noQSampling: bool = False               # --noQSampling
+    cgsBurnIn: int = 0                      # --cgsBurnIn N : discard first N
+                                            #   sweeps, average the rest
+                                            #   (0 = final-sweep, reference-like)
 
     # --- FDR / evaluation ---------------------------------------------- #
     FDR: bool = False                       # --FDR

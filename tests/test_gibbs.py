@@ -1,11 +1,12 @@
 """Collapsed Gibbs sampling tests."""
 
+import jax
 import numpy as np
 import pytest
 
 from bammmotif2_tpu.models import seeds as seeds_mod
 from bammmotif2_tpu.models.background import BackgroundModel
-from bammmotif2_tpu.refinement.gibbs import run_gibbs
+from bammmotif2_tpu.refinement.gibbs import run_gibbs, run_gibbs_multi
 from bammmotif2_tpu.utils.config import Params
 
 from tests.test_em import planted_set
@@ -80,3 +81,111 @@ class TestGibbs:
         for k, vk in enumerate(m.v):
             sums = vk.reshape(-1, 4, m.W).sum(axis=1)
             np.testing.assert_allclose(sums, 1.0, atol=1e-4, err_msg=f"order {k}")
+
+    def test_burn_in_posterior_mean(self, planted):
+        # --cgsBurnIn: Rao-Blackwellized average over post-burn-in sweeps
+        sset, bg = planted
+        m_avg, m_last = seed_motif(sset), seed_motif(sset)
+        run_gibbs(
+            m_avg, bg, sset,
+            Params(CGS=True, q=0.5, maxCGSIterations=25, cgsBurnIn=10, seed=6),
+        )
+        run_gibbs(
+            m_last, bg, sset,
+            Params(CGS=True, q=0.5, maxCGSIterations=25, seed=6),
+        )
+        consensus = "".join("ACGT"[i] for i in m_avg.v[0].argmax(axis=0))
+        assert consensus == MOTIF
+        # averaging must change the estimate but keep rows normalized
+        assert not np.allclose(m_avg.v[0], m_last.v[0])
+        for k, vk in enumerate(m_avg.v):
+            sums = vk.reshape(-1, 4, m_avg.W).sum(axis=1)
+            np.testing.assert_allclose(sums, 1.0, atol=1e-4, err_msg=f"order {k}")
+
+
+class TestGibbsScaleOut:
+    def test_sharded_matches_single_device(self, planted):
+        # data-sharded CGS over 8 virtual devices must reproduce the
+        # single-device run given the same key (per-row counter-derived
+        # sampling keys are layout- and padding-invariant)
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
+
+        sset, bg = planted
+        m1, m2 = seed_motif(sset), seed_motif(sset)
+        p = Params(CGS=True, q=0.5, maxCGSIterations=6, seed=5)
+        r1 = run_gibbs(m1, bg, sset, p)
+        mesh = mesh_mod.make_mesh(n_data=8, n_seed=1)
+        r2 = run_gibbs(m2, bg, sset, p, mesh=mesh)
+        np.testing.assert_allclose(
+            r1.ll_history, r2.ll_history, rtol=1e-4, atol=1e-3
+        )
+        assert r1.q == pytest.approx(r2.q, rel=1e-4)
+        for a, b in zip(m1.v, m2.v):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+
+    def test_multi_seed_matches_individual(self, planted):
+        sset, bg = planted
+        p = Params(CGS=True, q=0.5, maxCGSIterations=5, seed=9)
+        seeds = [seed_motif(sset, soft=0.6), seed_motif(sset, soft=0.8)]
+        singles = [seed_motif(sset, soft=0.6), seed_motif(sset, soft=0.8)]
+        results = run_gibbs_multi(seeds, bg, sset, p)
+        assert len(results) == 2
+        base = jax.random.PRNGKey(p.seed)
+        for m, (single, batched) in enumerate(zip(singles, seeds)):
+            run_gibbs(single, bg, sset, p, key=jax.random.fold_in(base, m))
+            for a, b in zip(single.v, batched.v):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(
+                single.alphas, batched.alphas, rtol=1e-4
+            )
+
+    def test_pallas_shard_step_matches_gather(self):
+        # the production TPU multi-chip CGS path (shard_map'd Pallas kernel
+        # + psum counts) in interpret mode vs the XLA gather path
+        import jax.numpy as jnp
+
+        from bammmotif2_tpu.ops import encode
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
+        from bammmotif2_tpu.refinement.em import prepare_data
+        from bammmotif2_tpu.refinement.gibbs import gibbs_step
+
+        sset = planted_set(n=32, l=40, motif=MOTIF, q=0.8, noise=0.05, seed=2)
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+        m = seed_motif(sset)
+        data = prepare_data(sset, bg, 2, False)
+        mesh = mesh_mod.make_mesh(n_data=4, n_seed=1, devices=jax.devices()[:4])
+        sdata = mesh_mod.shard_em_data(mesh, data, encode.num_rows(4, 2))
+
+        def step(d, path, mesh):
+            return gibbs_step(
+                tuple(jnp.asarray(vk, jnp.float32) for vk in m.v),
+                jnp.float32(0.5),
+                jnp.log(jnp.asarray(m.alphas, jnp.float32)),
+                jax.random.PRNGKey(3),
+                d,
+                jnp.asarray(m.f_bg, jnp.float32),
+                jnp.asarray(m.alphas, jnp.float32),
+                jnp.float32(sset.n),
+                A=4, K=2, W=m.W, sample_z=True, sample_q=True,
+                learn_alpha=True, path=path, mesh=mesh,
+            )
+
+        g = step(data, "gather", None)
+        p = step(sdata, "pallas_shard_interpret", mesh)
+        for a, b in zip(g[0], p[0]):  # v
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        assert float(g[4]) == pytest.approx(float(p[4]), rel=1e-5)  # ll
+        assert int(g[5]) == int(p[5])  # n_occ
+
+    def test_multi_seed_grouped_widths(self, planted):
+        # seeds of different widths fall into separate (W, K) groups
+        sset, bg = planted
+        p = Params(CGS=True, q=0.5, maxCGSIterations=4, seed=11)
+        wide = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(MOTIF + "NN", soft=0.6), K=2,
+            f_bg=sset.base_frequencies(),
+        )
+        seeds = [seed_motif(sset), wide, seed_motif(sset, soft=0.7)]
+        results = run_gibbs_multi(seeds, bg, sset, p)
+        assert all(r is not None and np.isfinite(r.ll) for r in results)
+        assert seeds[1].W == len(MOTIF) + 2

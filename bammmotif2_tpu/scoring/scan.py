@@ -7,6 +7,13 @@ sorted negative-score distribution (vectorized searchsorted instead of the
 reference's per-score scan), and writes occurrence rows above the p-value
 cutoff.
 
+Streaming (SURVEY.md 5 long-context row): sequences scan in batches and
+every reduction (ZOOPS maxima, hit extraction, MOPS pooling) happens
+per-chunk ON DEVICE — the full [S, N, n_win] score tensor (~40x the input
+bytes) is retained on device only when it fits a fixed budget
+(``keep_bytes``); genome-scale sets re-score chunks on demand instead, so
+HBM usage stays bounded by one chunk regardless of N.
+
 p-value convention (SURVEY.md 2.9): for a score s against M sorted negative
 scores, p(s) = (#neg >= s + 1) / (M + 1), with linear interpolation between
 adjacent negative scores; e-value = p * (#windows scanned in the dataset).
@@ -25,38 +32,108 @@ from bammmotif2_tpu.models.motif import Motif, log_odds_lut
 from bammmotif2_tpu.ops import encode, escore
 from bammmotif2_tpu.utils.fasta import SequenceSet
 
+# retain chunk score tensors on device only below this total (bytes);
+# larger sets stream (re-score on demand) so HBM stays chunk-bounded
+KEEP_BYTES = 256 << 20
+
 
 @dataclasses.dataclass
 class ScanResult:
-    """Per-window scores; stays device-resident until a host view is asked.
+    """Per-sequence reductions + chunked access to window scores.
 
     Device->host traffic is the scanner's real cost at genome scale (the
     score tensor is ~40x the input), so ZOOPS maxima, p-values, and
-    occurrence extraction all reduce ON DEVICE; only reductions and hit
-    rows cross to the host.
+    occurrence extraction all reduce ON DEVICE per chunk; only reductions
+    and hit rows cross to the host.  ``iter_chunks`` yields
+    ``(row0, scores_dev [S, n, n_win], mask_dev [n, n_win])`` — from the
+    retained tensors for small sets, by re-scoring for large ones.
     """
 
-    scores_dev: object      # jnp [S, N, n_win] log-odds (NEG_INF invalid)
-    mask_dev: object        # jnp bool [N, n_win]
     max_scores: np.ndarray  # [N] best window per sequence (ZOOPS statistic)
     n_windows: int          # total valid windows scanned
     W: int
-    _scores_host: np.ndarray | None = None
+    _chunks: list | None = None     # retained (row0, scores, mask) triples
+    _rescan: object = None          # () -> iterator of (row0, scores, mask)
+
+    def iter_chunks(self):
+        if self._chunks is not None:
+            yield from self._chunks
+        else:
+            yield from self._rescan()
 
     @property
     def scores(self) -> np.ndarray:
-        if self._scores_host is None:
-            self._scores_host = np.asarray(self.scores_dev)
-        return self._scores_host
+        """Full [S, N, n_win_max] host score tensor (NEG_INF on invalid).
+
+        Materializes every chunk — fine for small sets; large sets should
+        prefer iter_chunks / the on-device reductions.
+        """
+        chunks = list(self.iter_chunks())
+        n_win_max = max(c[1].shape[2] for c in chunks)
+
+        def padw(x, fill):
+            p = n_win_max - x.shape[-1]
+            if p == 0:
+                return x
+            cfg = [(0, 0)] * (x.ndim - 1) + [(0, p)]
+            return np.pad(np.asarray(x), cfg, constant_values=fill)
+
+        return np.concatenate(
+            [padw(c[1], escore.NEG_INF) for c in chunks], axis=1
+        )
 
     @property
     def mask(self) -> np.ndarray:
-        return np.asarray(self.mask_dev)
+        chunks = list(self.iter_chunks())
+        n_win_max = max(c[2].shape[1] for c in chunks)
+
+        def padw(x):
+            p = n_win_max - x.shape[-1]
+            return np.pad(np.asarray(x), [(0, 0), (0, p)]) if p else np.asarray(x)
+
+        return np.concatenate([padw(c[2]) for c in chunks], axis=0)
 
     def all_window_scores(self) -> np.ndarray:
         """Valid per-window scores pooled over strands (MOPS statistic)."""
-        m = np.broadcast_to(self.mask[None], self.scores.shape)
-        return self.scores[m]
+        out = []
+        for _row0, sc, m in self.iter_chunks():
+            sc_h = np.asarray(sc)
+            m_h = np.broadcast_to(np.asarray(m)[None], sc_h.shape)
+            out.append(sc_h[m_h])
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+
+def _chunk_scorer(motif: Motif, bg: BackgroundModel, ss: bool):
+    """Returns a function (SequenceSet subset) -> (scores_dev, mask_dev)."""
+    import jax
+
+    K, W, A = motif.K, motif.W, motif.A
+    s_flat = log_odds_lut(
+        tuple(jnp.asarray(v, jnp.float32) for v in motif.v),
+        jnp.asarray(bg.conditional_flat(K), jnp.float32),
+    )
+    use_pallas = False
+    map5 = None
+    if jax.default_backend() == "tpu":
+        from bammmotif2_tpu.ops import pallas_em
+
+        use_pallas = pallas_em.supported(K, A)
+        if use_pallas:
+            map5 = jnp.asarray(encode.map_base5_to_combined(A, K))
+
+    def score(sub: SequenceSet):
+        if use_pallas:
+            from bammmotif2_tpu.ops import pallas_em
+
+            qidx = encode.strand_base5_indices(sub, K, ss)
+            lens = jnp.asarray(sub.lens)
+            return pallas_em.window_scores(
+                s_flat, qidx, lens, map5, A=A, K=K, W=W
+            )
+        cidx, lens = encode.strand_indices(sub, K, ss)
+        return escore.window_scores(s_flat, cidx, lens, W)
+
+    return score
 
 
 def score_set(
@@ -65,60 +142,43 @@ def score_set(
     sset: SequenceSet,
     ss: bool = False,
     batch: int = 16384,
+    keep_bytes: int = KEEP_BYTES,
 ) -> ScanResult:
     """Log-odds-score every window of every sequence (ScoreSeqSet::calcLogOdds).
 
-    Sequences are processed in batches of ``batch`` so genome-scale sets
-    (BASELINE config 5: 100k sequences) stream through HBM.
+    Sequences are processed in batches of ``batch``; per-chunk reductions
+    (max score, valid-window count) happen on device.  Chunk score tensors
+    are retained only while their total stays under ``keep_bytes`` —
+    genome-scale sets (BASELINE config 5: 100k+ sequences) stream through
+    HBM and downstream consumers re-score chunks via ``iter_chunks``.
     """
-    import jax
+    score = _chunk_scorer(motif, bg, ss)
+    S = 1 if ss else 2
+    n_win_est = max(int(sset.lens.max(initial=0)) - motif.W + 1, 1)
+    retain = 4 * S * sset.n * n_win_est <= keep_bytes
 
-    K, W = motif.K, motif.W
-    A = motif.A
-    s_flat = log_odds_lut(
-        tuple(jnp.asarray(v, jnp.float32) for v in motif.v),
-        jnp.asarray(bg.conditional_flat(K), jnp.float32),
-    )
-    use_pallas = False
-    if jax.default_backend() == "tpu":
-        from bammmotif2_tpu.ops import pallas_em
+    def chunk_iter():
+        for start in range(0, sset.n, batch):
+            sub = sset.subset(np.arange(start, min(start + batch, sset.n)))
+            sc, m = score(sub)
+            yield start, sc, m
 
-        use_pallas = pallas_em.supported(K, A)
-        map5 = jnp.asarray(encode.map_base5_to_combined(A, K))
-    chunks, mask_chunks = [], []
-    for start in range(0, sset.n, batch):
-        sub = sset.subset(np.arange(start, min(start + batch, sset.n)))
-        if use_pallas:
-            qidx = encode.strand_base5_indices(sub, K, ss)
-            lens = jnp.asarray(sub.lens)
-            sc, m = pallas_em.window_scores(
-                s_flat, qidx, lens, map5, A=A, K=K, W=W
-            )
-        else:
-            cidx, lens = encode.strand_indices(sub, K, ss)
-            sc, m = escore.window_scores(s_flat, cidx, lens, W)
-        chunks.append(sc)
-        mask_chunks.append(m)
-    n_win_max = max(c.shape[2] for c in chunks)
-    S = chunks[0].shape[0]
-
-    def padw(x, fill):
-        p = n_win_max - x.shape[-1]
-        if p == 0:
-            return x
-        cfg = [(0, 0)] * (x.ndim - 1) + [(0, p)]
-        return jnp.pad(x, cfg, constant_values=fill)
-
-    scores = jnp.concatenate([padw(c, escore.NEG_INF) for c in chunks], axis=1)
-    mask = jnp.concatenate([padw(m, False) for m in mask_chunks], axis=0)
-    max_scores = np.asarray(jnp.max(scores, axis=(0, 2)))  # N floats only
-    n_valid = int(mask.sum()) * S
+    max_scores = np.empty(sset.n, np.float32)
+    n_valid = 0
+    chunks: list | None = [] if retain else None
+    for row0, sc, m in chunk_iter():
+        n = sc.shape[1]
+        # per-chunk on-device reductions; only [n] floats + 1 int cross
+        max_scores[row0 : row0 + n] = np.asarray(jnp.max(sc, axis=(0, 2)))
+        n_valid += int(m.sum()) * sc.shape[0]
+        if retain:
+            chunks.append((row0, sc, m))
     return ScanResult(
-        scores_dev=scores,
-        mask_dev=mask,
         max_scores=max_scores,
         n_windows=n_valid,
-        W=W,
+        W=motif.W,
+        _chunks=chunks,
+        _rescan=chunk_iter if not retain else None,
     )
 
 
@@ -165,55 +225,58 @@ def find_occurrences(
 ) -> list:
     """Windows with p-value below the cutoff, as occurrence records.
 
-    Reverse-strand windows are reported in forward coordinates
-    (start = len - W - i for rc-window start i), matching the reference's
-    convention of scanning the appended reverse complement.
+    Streams chunk by chunk: p-values + thresholding reduce on device and
+    only hit rows cross to the host, so memory stays bounded for
+    genome-scale scans.  Reverse-strand windows are reported in forward
+    coordinates (start = len - W - i for rc-window start i), matching the
+    reference's convention of scanning the appended reverse complement.
     """
-    sc = scan.scores_dev
-    S, N, n_win = sc.shape
     W = scan.W
-    # p-values + thresholding on device; only hit rows cross to host
     neg = jnp.sort(jnp.asarray(neg_scores, jnp.float32))
     M = int(neg.size)
-    lo = jnp.searchsorted(neg, sc, side="left")
-    hi = jnp.searchsorted(neg, sc, side="right")
-    frac = jnp.where(hi > lo, 0.5 * (lo + hi), lo).astype(jnp.float32)
-    pv_dev = jnp.clip((M - frac + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
-    valid = jnp.broadcast_to(scan.mask_dev[None], sc.shape)
-    hitmask = (valid & (pv_dev <= pval_cutoff)).ravel()
-    n_hits = int(hitmask.sum())
-    if n_hits == 0:
-        return []
-    flat = jnp.nonzero(hitmask, size=n_hits)[0]
-    hit_scores = np.asarray(sc.ravel()[flat])
-    hit_pv = np.asarray(pv_dev.ravel()[flat])
-    s_i, n_i, i_i = np.unravel_index(np.asarray(flat), (S, N, n_win))
 
     occs: list = []
-    for s, n, i, score, p in zip(s_i, n_i, i_i, hit_scores, hit_pv):
-        L = int(sset.lens[n])
-        if s == 0:
-            start, strand = int(i), "+"
-            site = sset.alphabet.decode(sset.codes[n, start : start + W])
-        else:
-            start, strand = L - W - int(i), "-"
-            site = sset.alphabet.decode(
-                sset.alphabet.revcomp(sset.codes[n, start : start + W])
+    for row0, sc, mask in scan.iter_chunks():
+        S, n, n_win = sc.shape
+        lo = jnp.searchsorted(neg, sc, side="left")
+        hi = jnp.searchsorted(neg, sc, side="right")
+        frac = jnp.where(hi > lo, 0.5 * (lo + hi), lo).astype(jnp.float32)
+        pv_dev = jnp.clip((M - frac + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
+        valid = jnp.broadcast_to(mask[None], sc.shape)
+        hitmask = (valid & (pv_dev <= pval_cutoff)).ravel()
+        n_hits = int(hitmask.sum())
+        if n_hits == 0:
+            continue
+        flat = jnp.nonzero(hitmask, size=n_hits)[0]
+        hit_scores = np.asarray(sc.ravel()[flat])
+        hit_pv = np.asarray(pv_dev.ravel()[flat])
+        s_i, n_i, i_i = np.unravel_index(np.asarray(flat), (S, n, n_win))
+
+        for s, nn, i, score, p in zip(s_i, n_i, i_i, hit_scores, hit_pv):
+            gi = row0 + int(nn)
+            L = int(sset.lens[gi])
+            if s == 0:
+                start, strand = int(i), "+"
+                site = sset.alphabet.decode(sset.codes[gi, start : start + W])
+            else:
+                start, strand = L - W - int(i), "-"
+                site = sset.alphabet.decode(
+                    sset.alphabet.revcomp(sset.codes[gi, start : start + W])
+                )
+            occs.append(
+                Occurrence(
+                    seq_idx=gi,
+                    header=sset.headers[gi],
+                    length=L,
+                    strand=strand,
+                    start=start,
+                    end=start + W,
+                    site=site,
+                    score=float(score),
+                    pvalue=float(p),
+                    evalue=float(p * scan.n_windows),
+                )
             )
-        occs.append(
-            Occurrence(
-                seq_idx=int(n),
-                header=sset.headers[n],
-                length=L,
-                strand=strand,
-                start=start,
-                end=start + W,
-                site=site,
-                score=float(score),
-                pvalue=float(p),
-                evalue=float(p * scan.n_windows),
-            )
-        )
     occs.sort(key=lambda o: (o.seq_idx, o.start, o.strand))
     return occs
 

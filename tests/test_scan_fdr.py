@@ -93,6 +93,26 @@ class TestScan:
         small = scan.score_set(m, bg, sset, batch=17)
         np.testing.assert_allclose(full.max_scores, small.max_scores, rtol=1e-5)
 
+    def test_streaming_matches_retained(self, trained):
+        # keep_bytes=0 forces the streaming path (chunks re-scored on
+        # demand, HBM bounded by one chunk); results must be identical
+        sset, bg, m = trained
+        kept = scan.score_set(m, bg, sset, batch=64)
+        streamed = scan.score_set(m, bg, sset, batch=64, keep_bytes=0)
+        assert kept._chunks is not None and streamed._chunks is None
+        np.testing.assert_array_equal(kept.max_scores, streamed.max_scores)
+        assert kept.n_windows == streamed.n_windows
+        np.testing.assert_array_equal(
+            kept.all_window_scores(), streamed.all_window_scores()
+        )
+        neg = np.random.default_rng(0).normal(-10, 3, 1000)
+        o1 = scan.find_occurrences(kept, sset, neg, 0.01)
+        o2 = scan.find_occurrences(streamed, sset, neg, 0.01)
+        assert [(o.seq_idx, o.start, o.strand, o.site) for o in o1] == [
+            (o.seq_idx, o.start, o.strand, o.site) for o in o2
+        ]
+        assert len(o1) > 0
+
 
 class TestSeqGen:
     def test_lengths_and_alphabet(self):

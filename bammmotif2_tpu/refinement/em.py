@@ -164,6 +164,13 @@ def em_step(
             out_specs=(P(), P()),
             check_vma=False,  # pallas_call outs carry no vma annotation
         )(data["qidx"], lens, q, s_flat, data["map5"])
+    elif path.startswith("flat"):
+        from bammmotif2_tpu.ops import pallas_flat
+
+        C, ll = pallas_flat.em_counts(
+            s_flat, data["qidx"], lens, q, data["map5"],
+            A=A, K=K, W=W, R=R, interpret=path == "flat_interpret",
+        )
     elif path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 

@@ -112,7 +112,7 @@ def _kernel_v2(
 
         # (G, SLp) -> flat
         for g in range(G):
-            rfl_s[0:1, g * SLp : (g + 1) * SLp] = r[pl.ds(g, 1), :]
+            rfl_s[0:1, g * SLp : (g + 1) * SLp] = r[g : g + 1, :]
         rfl = rfl_s[:]
 
         # ---- M-step: RH[j, i] = r[i - j] via skew; 2 bf16 terms ----
@@ -177,17 +177,21 @@ def _lhs_terms(s_flat, map5, W, g):
     Q, QT, Wp = g["Q"], g["QT"], g["Wp"]
     s5 = s_flat[map5]  # (Q, W)
     s5 = jnp.pad(s5, ((0, QT - Q), (0, Wp - W))).T.astype(jnp.float32)
+    # NB: the split must use lax.reduce_precision, NOT a plain astype round
+    # trip — under --xla_allow_excess_precision (default on TPU) XLA elides
+    # the f32->bf16->f32 rounding and the residual terms collapse to zero,
+    # silently degrading the matmul to single-bf16 accuracy (~1e-3).
     terms, r = [], s5
     for i in range(NT_S):
-        t = r.astype(jnp.bfloat16)
-        terms.append(t)
+        t32 = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+        terms.append(t32.astype(jnp.bfloat16))
         if i + 1 < NT_S:
-            r = r - t.astype(jnp.float32)
+            r = r - t32
     return jnp.concatenate(terms, axis=0)  # (NT_S*Wp, QT)
 
 
-@functools.partial(jax.jit, static_argnames=("A", "K", "W", "R"))
-def em_counts_v2(s_flat, qidx, lens, q, map5, *, A, K, W, R):
+@functools.partial(jax.jit, static_argnames=("A", "K", "W", "R", "interpret"))
+def em_counts_v2(s_flat, qidx, lens, q, map5, *, A, K, W, R, interpret=False):
     S, N, L = qidx.shape
     g = _geometry_v2(A, K, W, S, L)
     qflat, lens_blk, ipos, pad, n_blocks = _prep_v2(qidx, lens, g)
@@ -200,6 +204,7 @@ def em_counts_v2(s_flat, qidx, lens, q, map5, *, A, K, W, R):
     C, stats = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, B * SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

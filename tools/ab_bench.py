@@ -89,6 +89,41 @@ def time_em(K, path, problem):
     return dt * 1e3, float(ll)
 
 
+def time_em_device_loop(K, path, problem, n_iters=N_TIMED):
+    """Device-resident timing: all n_iters chained em_steps inside ONE
+    jitted lax.fori_loop, so axon-tunnel dispatch latency (which can be
+    10x the kernel time and swings 2x round-to-round) is paid once, not
+    per iteration.  Returns ms/iter."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bammmotif2_tpu.refinement.em import em_step
+
+    v, data, alphas, f_bg = problem
+    nr = jnp.asarray(float(N_SEQS), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(v, q, n):
+        def body(_, carry):
+            v, q = carry
+            v1, q1, ll, vd = em_step(
+                v, q, data, alphas, f_bg, nr,
+                A=4, K=K, W=W, optimize_q=True, path=path,
+            )
+            return v1, q1
+
+        return jax.lax.fori_loop(0, n, body, (v, q))
+
+    q = jnp.asarray(0.9, jnp.float32)
+    jax.block_until_ready(loop(v, q, n_iters))  # compile + warm
+    t0 = time.perf_counter()
+    out = loop(v, q, n_iters)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iters * 1e3
+
+
 def save_problem(K, path):
     """Stage 1 (run under JAX_PLATFORMS=cpu): build + savez."""
     import jax
@@ -132,10 +167,14 @@ def main():
             env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True)
     problem = load_problem(npz)
     n_win = 2 * N_SEQS * (SEQ_LEN - W + 1)
+    device_loop = os.environ.get("AB_DEVICE_LOOP", "1") == "1"
     best = {}
     for rnd in range(3):
         for path in paths:
-            ms, ll = time_em(K, path, problem)
+            if device_loop:
+                ms = time_em_device_loop(K, path, problem)
+            else:
+                ms, ll = time_em(K, path, problem)
             best[path] = min(best.get(path, 1e30), ms)
             print(f"  round {rnd} K={K} {path:8s}: {ms:8.3f} ms/iter",
                   flush=True)

@@ -13,6 +13,7 @@ import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CMD = "/tmp/tpu_cmd.py"
 LOG = "/tmp/tpu_worker.log"
@@ -26,7 +27,7 @@ def log(msg):
 def main():
     g = {"__name__": "__tpu_worker__"}
     log(f"=== worker starting pid={os.getpid()} ===")
-    exec(open("tpu_repl_init.py").read(), g)
+    exec(open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "tpu_repl_init.py")).read(), g)
     log("=== prelude done, polling ===")
     last = 0.0
     while True:

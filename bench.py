@@ -71,7 +71,16 @@ def build_problem():
 
 
 def time_em(path: str) -> tuple[float, float]:
-    """Returns (windows_per_sec, iters_per_sec) for the given data path."""
+    """Returns (windows_per_sec, iters_per_sec) for the given data path.
+
+    All timed iterations run inside ONE jitted lax.fori_loop — a single
+    device dispatch, exactly how run_em executes the EM loop in
+    production.  (The previous chained host loop paid one tunnel dispatch
+    per iteration, which on a bad day is 5-10x the kernel time and swings
+    2x run-to-run.)  Best of 3 timed loops.
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -80,21 +89,30 @@ def time_em(path: str) -> tuple[float, float]:
     v, q, data, alphas, f_bg, n_win = build_problem()
     nr = jnp.asarray(float(N_SEQS), jnp.float32)
 
-    def step(v, q):
-        return em_step(
-            v, q, data, alphas, f_bg, nr,
-            A=4, K=K, W=W, optimize_q=True, path=path,
-        )
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(v, q, n):
+        def body(_, carry):
+            v, q = carry
+            v1, q1, ll, vd = em_step(
+                v, q, data, alphas, f_bg, nr,
+                A=4, K=K, W=W, optimize_q=True, path=path,
+            )
+            return v1, q1
 
-    # warm-up (compile + first run)
-    v1, q1, ll, vd = step(v, q)
-    jax.block_until_ready((v1, q1))
-    t0 = time.perf_counter()
-    for _ in range(N_TIMED_ITERS):
-        v1, q1, ll, vd = step(v1, q1)
-    jax.block_until_ready((v1, q1, ll, vd))
-    dt = time.perf_counter() - t0
+        return jax.lax.fori_loop(0, n, body, (v, q))
+
+    jax.block_until_ready(loop(v, q, N_TIMED_ITERS))  # compile + warm
+    dt = min(
+        _timed(lambda: jax.block_until_ready(loop(v, q, N_TIMED_ITERS)))
+        for _ in range(3)
+    )
     return n_win * N_TIMED_ITERS / dt, N_TIMED_ITERS / dt
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def time_scan() -> float:
@@ -112,12 +130,14 @@ def time_scan() -> float:
             s_flat, data["qidx"], data["lens"], data["map5"], A=4, K=K, W=W
         )
 
+    def timed_round():
+        for _ in range(N_TIMED_ITERS):
+            out = run()
+        jax.block_until_ready(out)
+
     jax.block_until_ready(run())
-    t0 = time.perf_counter()
-    for _ in range(N_TIMED_ITERS):
-        out = run()
-    jax.block_until_ready(out)
-    return n_win * N_TIMED_ITERS / (time.perf_counter() - t0)
+    dt = min(_timed(timed_round) for _ in range(3))
+    return n_win * N_TIMED_ITERS / dt
 
 
 def measure_anchor() -> float:

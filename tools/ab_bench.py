@@ -7,8 +7,11 @@ Data prep runs on the CPU backend (the axon tunnel makes eager host prep
 pathologically slow); em_step timing uses the chained-state host loop that
 bench.py uses, which has been stable across rounds.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

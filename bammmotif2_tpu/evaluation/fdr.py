@@ -87,7 +87,7 @@ def _fold_scores(v: tuple, data: dict, lens, *, A: int, K: int, W: int, path: st
         from bammmotif2_tpu.ops import pallas_em
 
         scores, mask = pallas_em.window_scores(
-            s_flat, data["qidx"], lens, data["map5"],
+            s_flat, data["cidx"], lens,
             A=A, K=K, W=W, interpret=path.endswith("interpret"),
         )
     else:

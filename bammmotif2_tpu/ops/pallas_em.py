@@ -13,30 +13,32 @@ makes every ZOOPS reduction a native per-row VPU op — segment max/sum are
 ``jnp.max/sum(axis=1)``, broadcasts are (B, 1) -> (B, SLp) — with no
 cross-sequence traffic at all:
 
-  * Indexing is lifted to the base-(A+1) code space (ops.encode.
-    base5_kmer_index): symbol A = "no base" (boundary/ambiguous).  A static
-    map (map_base5_to_combined) relates codes to combined-LUT rows, so the
-    per-iteration score table ``s5[c] = s_flat[map5[c]]`` is a tiny gather
-    of <= (A+1)^(K+1) rows done outside the kernel.
+  * Indexing uses the COMBINED-LUT row space directly (ops.encode.
+    combined_kmer_index, the same ``cidx`` tensor the gather path uses):
+    row = off[m] + lexicographic (m+1)-mer code with m the truncated
+    context order, sentinel row R for invalid positions.  The kernel
+    never interprets the code — it only compares/divides it — so the
+    one-hot space needs only Q = R+1 rows ((A^(K+6)-A)/(A-1)+1; 5,461 at
+    A=4, K=5) instead of the (A+1)^(K+1) of a per-digit code space
+    (15,625): 2.9x fewer MXU MACs at K=5, exact order-truncation
+    semantics with no code->row remap gather and no count segment-sum.
   * Per sequence row b, the transposed one-hot ``oh_b[c, i] = (code[b, i]
     == c)`` is an iota compare built IN VMEM (never touches HBM), exactly
     representable in bf16.
-  * E-step scores  P[b] = s5^T @ oh_b  -> (Wp, SLp) per row       (MXU)
+  * E-step scores  P[b] = s^T @ oh_b  -> (Wp, SLp) per row        (MXU)
   * Window scores  sc[b, i] = sum_j P[b, j, i+j]  -> W lane-rolls (VPU)
   * ZOOPS posterior: per-row max / exp / sum / divide             (VPU)
-  * M-step counts  C5 += oh_b @ Rw_b^T, Rw_b[j, i] = r[b, i-j]    (MXU)
+  * M-step counts  C += oh_b @ Rw_b^T, Rw_b[j, i] = r[b, i-j]     (MXU)
 
-High orders (hi/lo digit split): a full one-hot over Q = (A+1)^(K+1) rows
-stops fitting VMEM past K = 3, so the code is split as
-``c = c_hi * Qlo + c_lo`` with Qlo = (A+1)^dlo <= 640 (dlo most-recent
-bases) and Qhi = Q / Qlo (the oldest bases, <= 25 for A=4, K=5).  Only the
-LOW one-hot is materialized and contracted on the MXU against the LUT
-regrouped as (Qlo, Qhi*W); the few hi values then resolve as VPU masked
-accumulates ``P[b, j] = sum_h V[h*W+j] * [c_hi == h]`` (and transposed for
-counts).  At A = 4, K <= 2 degenerates to Qhi = 1 and skips the mask
-entirely; K = 3 takes the digit-split path with (Qlo, Qhi) = (125, 5)
-(the tile-first tie-break in _hi_lo prefers one 128-lane tile + 5 hi
-masks over a 625-row one-hot).
+High orders (hi/lo split): a full one-hot over Q rows stops fitting VMEM
+past Q ~ a few hundred, so the row index is split as ``c = c_hi * Qlo +
+c_lo`` with Qlo = 128 (one MXU lane-tile; the div/mod lowers to a shift/
+mask) and Qhi = ceil(Q/128) (<= 43 for A=4, K=5).  Only the LOW one-hot
+is materialized and contracted on the MXU against the LUT regrouped as
+(Qlo, Qhi*W); the few hi values then resolve as VPU masked accumulates
+``P[b, j] = sum_h V[h*W+j] * [c_hi == h]`` (and transposed for counts).
+Q <= 128 (A=4, K <= 2) degenerates to Qhi = 1 and skips the mask
+entirely.
 
 Matmul precision: the MXU is bf16; instead of ``Precision.HIGHEST`` (6
 bf16 passes emulating fp32 x fp32) the f32 operand is split into bf16
@@ -46,8 +48,7 @@ used for the counts matmul whose error is dominated by the ~5e-6 relative
 rounding of the posterior normalization either way.
 
 HBM traffic per iteration ~= one read of the int32 code tensor.  Counts
-return in the base-(A+1) space and are folded to combined rows with one
-tiny segment-sum.
+return directly in combined-row space.
 
 Parity: produces equivalent-to-tolerance counts/likelihood vs ops.escore
 (<= 1e-5; asserted in tests/test_pallas_em.py and on-device).
@@ -81,21 +82,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _hi_lo(K: int, A: int) -> tuple[int, int]:
-    """(Qlo, Qhi) digit-group sizes for base A+1, K+1 digits.
+    """(Qlo, Qhi) split of the Q = R+1 combined-row space.
 
-    Chosen to minimize MXU lane-tiles of the low one-hot FIRST (the
-    contraction dimension — measured dominant), then the hi fan-out
-    (VPU masked accumulates — measured cheap: at A=4, K=5 a 125-row
-    one-hot with Qhi=125 beats a 625-row one-hot with Qhi=25)."""
-    base = A + 1
-    digits = K + 1
-    best = None
-    for dlo in range(1, digits + 1):
-        Qlo, Qhi = base**dlo, base ** (digits - dlo)
-        score = (-(-Qlo // LANE), Qhi)
-        if best is None or score < best[0]:
-            best = (score, (Qlo, Qhi))
-    return best[1]
+    Qlo is one full MXU lane-tile (or all of Q when it fits in one), so
+    the low one-hot contraction is maximally dense and the hi fan-out
+    Qhi = ceil(Q/128) is as small as the row space allows — the row
+    space being the combined-LUT rows themselves, which are ~3x fewer
+    than any per-digit code space at high K."""
+    Q = encode.num_rows(A, K) + 1
+    if Q <= LANE:
+        return Q, 1
+    return LANE, -(-Q // LANE)
 
 
 def supported(K: int, A: int = 4) -> bool:
@@ -267,7 +264,7 @@ def _kernel(
 
 
 def _geometry(A, K, W, S, L):
-    Q = (A + 1) ** (K + 1)
+    Q = encode.num_rows(A, K) + 1  # combined rows + sentinel
     Qlo, Qhi = _hi_lo(K, A)
     QloP = _round_up(Qlo, LANE)
     Wp = _round_up(W, SUBLANE)
@@ -278,13 +275,13 @@ def _geometry(A, K, W, S, L):
     return dict(Q=Q, Qlo=Qlo, Qhi=Qhi, QloP=QloP, Wp=Wp, SLp=SLp, B=B)
 
 
-def _prep(qidx, lens, g):
+def _prep(cidx, lens, g):
     """Shared block layout: (n_blocks, B, SLp) codes + per-block lens."""
-    S, N, L = qidx.shape
+    S, N, L = cidx.shape
     SLp, B = g["SLp"], g["B"]
-    sentinel = g["Q"] - 1  # all digits == A -> the zero-score sentinel row
+    sentinel = g["Q"] - 1  # combined sentinel row R: zero score, counts dropped
 
-    qn = jnp.moveaxis(qidx, 0, 1).reshape(N, S * L)
+    qn = jnp.moveaxis(cidx, 0, 1).reshape(N, S * L)
     qn = jnp.pad(qn, ((0, 0), (0, SLp - S * L)), constant_values=sentinel)
     pad = (-N) % B
     if pad:
@@ -308,31 +305,32 @@ def _prep(qidx, lens, g):
     return qblk, lens_blk, jnp.asarray(ipos), pad, n_blocks
 
 
-def _grouped_lut(s_flat, map5, W, g):
-    """LUT rows regrouped by (lo, hi*W): s5g[l, h*Wp + j] = s5[h*Qlo+l, j]."""
+def _grouped_lut(s_flat, W, g):
+    """Combined LUT regrouped by (lo, hi*W): sg[l, h*Wp + j] = s[h*Qlo+l, j].
+
+    s_flat has Q = R+1 rows; rows Q..Qhi*Qlo-1 are padding no code ever
+    indexes (zero score, zero counts)."""
     Q, Qlo, Qhi, QloP, Wp = g["Q"], g["Qlo"], g["Qhi"], g["QloP"], g["Wp"]
-    s5 = s_flat[map5]  # [Q, W]
-    s5 = jnp.pad(s5, ((0, 0), (0, Wp - W)))  # [Q, Wp]
-    s5g = s5.reshape(Qhi, Qlo, Wp).transpose(1, 0, 2).reshape(Qlo, Qhi * Wp)
-    return jnp.pad(s5g, ((0, QloP - Qlo), (0, 0))).astype(jnp.float32)
+    s = jnp.pad(s_flat, ((0, Qhi * Qlo - Q), (0, Wp - W)))  # [Qhi*Qlo, Wp]
+    sg = s.reshape(Qhi, Qlo, Wp).transpose(1, 0, 2).reshape(Qlo, Qhi * Wp)
+    return jnp.pad(sg, ((0, QloP - Qlo), (0, 0))).astype(jnp.float32)
 
 
-def _ungroup_counts(C5g, W, g):
-    """(QloP, Qhi*Wp) kernel counts -> (Q, W) base-(A+1) count rows."""
-    Qlo, Qhi, Wp = g["Qlo"], g["Qhi"], g["Wp"]
-    C = C5g[:Qlo].reshape(Qlo, Qhi, Wp).transpose(1, 0, 2).reshape(
+def _ungroup_counts(Cg, W, g):
+    """(QloP, Qhi*Wp) kernel counts -> (Q, W) combined count rows."""
+    Q, Qlo, Qhi, Wp = g["Q"], g["Qlo"], g["Qhi"], g["Wp"]
+    C = Cg[:Qlo].reshape(Qlo, Qhi, Wp).transpose(1, 0, 2).reshape(
         Qhi * Qlo, Wp
     )
-    return C[:, :W]
+    return C[:Q, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "R", "interpret"))
 def em_counts(
     s_flat: jnp.ndarray,
-    qidx: jnp.ndarray,
+    cidx: jnp.ndarray,
     lens: jnp.ndarray,
     q,
-    map5: jnp.ndarray,
     *,
     A: int,
     K: int,
@@ -344,18 +342,17 @@ def em_counts(
 
     Args:
       s_flat: [R+1, W] combined log-odds LUT.
-      qidx: [S, N, L] base-(A+1) codes (encode.strand_base5_indices).
+      cidx: [S, N, L] combined-row codes (encode.strand_indices).
       lens: [N] int32.
       q: scalar ZOOPS prior.
-      map5: [(A+1)^(K+1)] int32 code -> combined row.
 
     Returns (C [R+1, W] combined fractional counts, ll scalar).
     """
-    S, N, L = qidx.shape
+    S, N, L = cidx.shape
     g = _geometry(A, K, W, S, L)
-    qblk, lens_blk, ipos, pad, n_blocks = _prep(qidx, lens, g)
+    qblk, lens_blk, ipos, pad, n_blocks = _prep(cidx, lens, g)
     Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
-    s5g = _grouped_lut(s_flat, map5, W, g)
+    s5g = _grouped_lut(s_flat, W, g)
 
     kernel = functools.partial(
         _kernel, B=B, S=S, W=W, SLp=SLp,
@@ -392,8 +389,7 @@ def em_counts(
         ipos,
     )
 
-    C5 = _ungroup_counts(C5g, W, g)  # (Q, W)
-    C = jax.ops.segment_sum(C5, map5, num_segments=R + 1)
+    C = _ungroup_counts(C5g, W, g)  # (R+1, W) — combined rows directly
     ll = stats[0, 0] - jnp.float32(pad) * jnp.log1p(
         -jnp.asarray(q, jnp.float32)
     )
@@ -438,8 +434,7 @@ def _counts_kernel(
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "R", "interpret"))
 def counts_from_r(
     r_snl: jnp.ndarray,
-    qidx: jnp.ndarray,
-    map5: jnp.ndarray,
+    cidx: jnp.ndarray,
     *,
     A: int,
     K: int,
@@ -450,16 +445,16 @@ def counts_from_r(
     """M-step counts from an explicit responsibility tensor.
 
     Args:
-      r_snl: [S, N, L] window responsibilities laid out like qidx (zero on
+      r_snl: [S, N, L] window responsibilities laid out like cidx (zero on
         invalid/pad positions and beyond each sequence's window frontier).
-      qidx: [S, N, L] base-(A+1) codes.
+      cidx: [S, N, L] combined-row codes.
 
     Returns C: f32 [R+1, W] combined fractional counts (same contract as
     ops.escore.mstep_counts).
     """
-    S, N, L = qidx.shape
+    S, N, L = cidx.shape
     g = _geometry(A, K, W, S, L)
-    qblk, _, _, pad, n_blocks = _prep(qidx, None, g)
+    qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
     Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
 
     # responsibilities through the same (n_blocks, B, SLp) layout, pad 0
@@ -488,8 +483,7 @@ def counts_from_r(
         interpret=interpret,
     )(qblk, rblk)
 
-    C5 = _ungroup_counts(C5g, W, g)
-    return jax.ops.segment_sum(C5, map5, num_segments=R + 1)
+    return _ungroup_counts(C5g, W, g)  # (R+1, W)
 
 
 def _scores_kernel(
@@ -520,9 +514,8 @@ def _scores_kernel(
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "interpret"))
 def window_scores(
     s_flat: jnp.ndarray,
-    qidx: jnp.ndarray,
+    cidx: jnp.ndarray,
     lens: jnp.ndarray,
-    map5: jnp.ndarray,
     *,
     A: int,
     K: int,
@@ -538,11 +531,11 @@ def window_scores(
     """
     from bammmotif2_tpu.ops import escore
 
-    S, N, L = qidx.shape
+    S, N, L = cidx.shape
     g = _geometry(A, K, W, S, L)
-    qblk, _, _, pad, n_blocks = _prep(qidx, None, g)
+    qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
     Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
-    s5g = _grouped_lut(s_flat, map5, W, g)
+    s5g = _grouped_lut(s_flat, W, g)
 
     kernel = functools.partial(
         _scores_kernel, B=B, W=W, SLp=SLp,

@@ -92,8 +92,9 @@ def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool) -> di
     """One-time device tensorization for EM/scanning.
 
     Returns a dict pytree:
-      cidx [S, N, L] combined-LUT rows (gather path)
-      qidx [S, N, L] base-(A+1) codes (Pallas matmul path)
+      cidx [S, N, L] combined-LUT rows (gather AND pallas_em paths — the
+        kernel one-hots directly in combined-row space)
+      qidx [S, N, L] base-(A+1) codes (the alternative flat-layout kernel)
       lens [N], bg_flat [R], map5 [(A+1)^(K+1)]
     """
     A = sset.alphabet.size
@@ -150,9 +151,9 @@ def em_step(
 
         interp = path.endswith("interpret")
 
-        def per_shard(qidx_s, lens_s, q_s, s_flat_s, map5_s):
+        def per_shard(cidx_s, lens_s, q_s, s_flat_s):
             C, ll = pallas_em.em_counts(
-                s_flat_s, qidx_s, lens_s, q_s, map5_s,
+                s_flat_s, cidx_s, lens_s, q_s,
                 A=A, K=K, W=W, R=R, interpret=interp,
             )
             return jax.lax.psum(C, "data"), jax.lax.psum(ll, "data")
@@ -160,10 +161,10 @@ def em_step(
         C, ll = shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(None, "data", None), P("data"), P(), P(), P()),
+            in_specs=(P(None, "data", None), P("data"), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,  # pallas_call outs carry no vma annotation
-        )(data["qidx"], lens, q, s_flat, data["map5"])
+        )(data["cidx"], lens, q, s_flat)
     elif path.startswith("flat"):
         from bammmotif2_tpu.ops import pallas_flat
 
@@ -175,7 +176,7 @@ def em_step(
         from bammmotif2_tpu.ops import pallas_em
 
         C, ll = pallas_em.em_counts(
-            s_flat, data["qidx"], lens, q, data["map5"],
+            s_flat, data["cidx"], lens, q,
             A=A, K=K, W=W, R=R, interpret=path == "pallas_interpret",
         )
     else:

@@ -152,24 +152,24 @@ def gibbs_step(
 
         interp = path.endswith("interpret")
 
-        def score_shard(qidx_s, lens_s, s_flat_r, map5_r):
+        def score_shard(cidx_s, lens_s, s_flat_r):
             return pallas_em.window_scores(
-                s_flat_r, qidx_s, lens_s, map5_r,
+                s_flat_r, cidx_s, lens_s,
                 A=A, K=K, W=W, interpret=interp,
             )
 
         scores, mask = jax.shard_map(
             score_shard,
             mesh=mesh,
-            in_specs=(P(None, "data", None), P("data"), P(), P()),
+            in_specs=(P(None, "data", None), P("data"), P()),
             out_specs=(P(None, "data", None), P("data")),
             check_vma=False,  # pallas_call outs carry no vma annotation
-        )(data["qidx"], lens, s_flat, data["map5"])
+        )(data["cidx"], lens, s_flat)
     elif path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 
         scores, mask = pallas_em.window_scores(
-            s_flat, data["qidx"], lens, data["map5"],
+            s_flat, data["cidx"], lens,
             A=A, K=K, W=W, interpret=path == "pallas_interpret",
         )
     else:
@@ -214,9 +214,9 @@ def gibbs_step(
         L = cidx.shape[2]
         r_snl = jnp.pad(r, ((0, 0), (0, 0), (0, L - n_win)))
 
-        def count_shard(r_s, qidx_s, map5_r):
+        def count_shard(r_s, cidx_s):
             C = pallas_em.counts_from_r(
-                r_s, qidx_s, map5_r,
+                r_s, cidx_s,
                 A=A, K=K, W=W, R=R, interpret=interp,
             )
             return jax.lax.psum(C, "data")
@@ -224,17 +224,17 @@ def gibbs_step(
         C = jax.shard_map(
             count_shard,
             mesh=mesh,
-            in_specs=(P(None, "data", None), P(None, "data", None), P()),
+            in_specs=(P(None, "data", None), P(None, "data", None)),
             out_specs=P(),
             check_vma=False,
-        )(r_snl, data["qidx"], data["map5"])
+        )(r_snl, data["cidx"])
     elif path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 
         L = cidx.shape[2]
         r_snl = jnp.pad(r, ((0, 0), (0, 0), (0, L - n_win)))
         C = pallas_em.counts_from_r(
-            r_snl, data["qidx"], data["map5"],
+            r_snl, data["cidx"],
             A=A, K=K, W=W, R=R, interpret=path == "pallas_interpret",
         )
     else:

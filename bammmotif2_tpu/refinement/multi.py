@@ -141,14 +141,14 @@ def _pallas_shard_batched_step(A: int, K: int, W: int, optimize_q: bool,
         bg_flat = data["bg_flat"]
         s_flat = jax.vmap(lambda vk: motif_mod.log_odds_lut(vk, bg_flat))(v)
 
-        def per_shard(s_flat_l, q_l, qidx_s, lens_s, map5_r):
+        def per_shard(s_flat_l, q_l, cidx_s, lens_s):
             # static unrolled loop over local seeds, NOT vmap: the Pallas
             # batching rule costs ~15x on TPU (measured); seed counts are
             # small so unrolling is cheap and XLA pipelines the calls
             Ml = s_flat_l.shape[0]
             outs = [
                 pallas_em.em_counts(
-                    s_flat_l[m], qidx_s, lens_s, q_l[m], map5_r,
+                    s_flat_l[m], cidx_s, lens_s, q_l[m],
                     A=A, K=K, W=W, R=R, interpret=interpret,
                 )
                 for m in range(Ml)
@@ -161,10 +161,10 @@ def _pallas_shard_batched_step(A: int, K: int, W: int, optimize_q: bool,
             per_shard,
             mesh=mesh,
             in_specs=(P("seed"), P("seed"), P(None, "data", None),
-                      P("data"), P()),
+                      P("data")),
             out_specs=(P("seed"), P("seed")),
             check_vma=False,  # pallas_call outs carry no vma annotation
-        )(s_flat, q, data["qidx"], data["lens"], data["map5"])
+        )(s_flat, q, data["cidx"], data["lens"])
 
         def finish(Cm, qm, am, vm):
             counts = motif_mod.counts_from_combined(Cm[:R], A, K)

@@ -113,24 +113,19 @@ def _chunk_scorer(motif: Motif, bg: BackgroundModel, ss: bool):
         jnp.asarray(bg.conditional_flat(K), jnp.float32),
     )
     use_pallas = False
-    map5 = None
     if jax.default_backend() == "tpu":
         from bammmotif2_tpu.ops import pallas_em
 
         use_pallas = pallas_em.supported(K, A)
-        if use_pallas:
-            map5 = jnp.asarray(encode.map_base5_to_combined(A, K))
 
     def score(sub: SequenceSet):
+        cidx, lens = encode.strand_indices(sub, K, ss)
         if use_pallas:
             from bammmotif2_tpu.ops import pallas_em
 
-            qidx = encode.strand_base5_indices(sub, K, ss)
-            lens = jnp.asarray(sub.lens)
             return pallas_em.window_scores(
-                s_flat, qidx, lens, map5, A=A, K=K, W=W
+                s_flat, cidx, lens, A=A, K=K, W=W
             )
-        cidx, lens = encode.strand_indices(sub, K, ss)
         return escore.window_scores(s_flat, cidx, lens, W)
 
     return score

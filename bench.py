@@ -127,7 +127,7 @@ def time_scan() -> float:
 
     def run():
         return pallas_em.window_scores(
-            s_flat, data["qidx"], data["lens"], data["map5"], A=4, K=K, W=W
+            s_flat, data["cidx"], data["lens"], A=4, K=K, W=W
         )
 
     def timed_round():

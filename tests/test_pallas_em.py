@@ -218,7 +218,7 @@ class TestPallasCountsFromR:
         C_ref = escore.mstep_counts(r, cidx, R, W)
         r_snl = jnp.pad(r, ((0, 0), (0, 0), (0, L - n_win)))
         C_pal = pallas_em.counts_from_r(
-            r_snl, data["qidx"], data["map5"],
+            r_snl, data["cidx"],
             A=4, K=K, W=W, R=R, interpret=True,
         )
         np.testing.assert_allclose(
@@ -236,7 +236,7 @@ class TestPallasWindowScores:
         s_flat = log_odds_lut(v, data["bg_flat"])
         sc_g, m_g = escore.window_scores(s_flat, data["cidx"], data["lens"], W)
         sc_p, m_p = pallas_em.window_scores(
-            s_flat, data["qidx"], data["lens"], data["map5"],
+            s_flat, data["cidx"], data["lens"],
             A=4, K=K, W=W, interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(m_g), np.asarray(m_p))

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bindingSiteFile", default=None)
     p.add_argument("--PWMFile", default=None)
     p.add_argument("--BaMMFile", default=None)
+    p.add_argument("--baseBgModelFile", default=None, metavar="HBCP",
+                   help="background model (.hbcp) paired with --BaMMFile: "
+                        "its mono-nucleotide frequencies seed the order-0 "
+                        "interpolation base instead of the positive set's")
     p.add_argument("--pattern", default=None,
                    help="IUPAC seed pattern(s), ';'-separated (e.g. TGASTCA)")
     p.add_argument("--maxPWM", type=int, default=None)
@@ -90,9 +94,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pvalCutoff", type=float, default=1e-4)
     # output
     p.add_argument("--basename", default=None)
-    p.add_argument("--saveBaMMs", action="store_true", default=True)
+    # opt-out-able outputs (the reference's Global booleans gate these):
+    # --saveBaMMs/--savePRs are on by default, --no-saveBaMMs/--no-savePRs
+    # suppress the respective files
+    p.add_argument("--saveBaMMs", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--saveInitialBaMMs", action="store_true")
-    p.add_argument("--savePRs", action="store_true", default=True)
+    p.add_argument("--savePRs", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--savePvalues", action="store_true")
     p.add_argument("--saveLogOdds", action="store_true")
     p.add_argument("--verbose", action="store_true")
@@ -259,8 +268,13 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
         for m in motifs:
             res = scan.score_set(m, bg, pos_set, ss=params.ss)
             neg_res = scan.score_set(m, bg, neg_sample, ss=params.ss)
+            # per-window occurrence p-values rank against the negatives'
+            # PER-WINDOW score distribution (ScoreSeqSet::calcPvalues ranks
+            # calcLogOdds window scores, SURVEY.md 3.3) — NOT the ZOOPS
+            # per-sequence maxima, which are a different distribution
+            # family (pinned by tests/test_scan_fdr.py)
             occs = scan.find_occurrences(
-                res, pos_set, neg_res.max_scores, params.pvalCutoff
+                res, pos_set, neg_res.all_window_scores(), params.pvalCutoff
             )
             path = os.path.join(
                 params.outputDirectory, f"{basename}_{m.name}.occurrence"

@@ -143,16 +143,21 @@ def mask_motif(
     the background model (``SeqGenerator`` masked variant — used to hunt
     secondary motifs after the primary is found).
 
-    Windows whose max-per-sequence log-odds beats the empirical p-value
-    cutoff (against ``m_fold`` sampled negatives) are replaced by bases
-    drawn from the background's mono-nucleotide conditionals.
+    Windows whose log-odds beats the empirical p-value cutoff (ranked
+    against the per-window score distribution of ``m_fold`` sampled
+    negatives) are replaced by bases drawn from the background's
+    mono-nucleotide conditionals.
     """
     from bammmotif2_tpu.scoring import scan as scan_mod
 
     res = scan_mod.score_set(motif, bg, sset, ss=ss)
     neg = generate_neg_set(bg, sset.lens, m_fold=m_fold, seed=seed)
     neg_res = scan_mod.score_set(motif, bg, neg, ss=ss)
-    occs = scan_mod.find_occurrences(res, sset, neg_res.max_scores, pval_cutoff)
+    # per-window p-values against the negatives' per-window distribution
+    # (same convention as the CLI scan path — ScoreSeqSet::calcPvalues)
+    occs = scan_mod.find_occurrences(
+        res, sset, neg_res.all_window_scores(), pval_cutoff
+    )
 
     rng = np.random.default_rng(seed)
     f0 = np.asarray(bg.v[0], np.float64)

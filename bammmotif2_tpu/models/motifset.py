@@ -97,6 +97,16 @@ def load_motifs(params: Params, f_bg: np.ndarray, alphabet: Alphabet | None = No
                 )
             )
     elif params.BaMMFile:
+        if getattr(params, "baseBgModelFile", None):
+            # the background paired with the saved BaMM (--baseBgModelFile,
+            # Motif::initFromBaMM's bgFile argument): its mono-nucleotide
+            # marginals are the order-0 interpolation base, replacing the
+            # positive set's frequencies
+            from bammmotif2_tpu.models.background import BackgroundModel
+
+            base_bg = BackgroundModel.read(params.baseBgModelFile, alphabet)
+            f0 = np.asarray(base_bg.v[0], np.float64)
+            f_bg = f0 / f0.sum()
         m = Motif.read(params.BaMMFile, f_bg=f_bg, alphabet=alphabet)
         m.alphas = _alphas_from_params(params, m.K, m.W)
         m.name = "motif_1"

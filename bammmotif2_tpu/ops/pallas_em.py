@@ -18,7 +18,7 @@ cross-sequence traffic at all:
     row = off[m] + lexicographic (m+1)-mer code with m the truncated
     context order, sentinel row R for invalid positions.  The kernel
     never interprets the code — it only compares/divides it — so the
-    one-hot space needs only Q = R+1 rows ((A^(K+6)-A)/(A-1)+1; 5,461 at
+    one-hot space needs only Q = R+1 rows ((A^(K+2)-A)/(A-1)+1; 5,461 at
     A=4, K=5) instead of the (A+1)^(K+1) of a per-digit code space
     (15,625): 2.9x fewer MXU MACs at K=5, exact order-truncation
     semantics with no code->row remap gather and no count segment-sum.

@@ -12,7 +12,8 @@ program over device-resident tensors:
 
 Two data paths produce identical counts/likelihood:
   * ``ops.escore``  — gather/segment-sum XLA ops (any order; CPU-friendly);
-  * ``ops.pallas_em`` — fused single-sweep Pallas TPU kernel (K <= 3): the
+  * ``ops.pallas_em`` — fused single-sweep Pallas TPU kernel (K <= 5 at
+    A=4 via the hi/lo digit split; gated by ``pallas_em.supported``): the
     one-hot lives in VMEM and both E and M are MXU matmuls.
 
 Only two scalars (log-likelihood, |delta v|) return to the host per
@@ -47,9 +48,13 @@ class EMResult:
     v_diff: float
     converged: bool
     ll_history: list
-    seconds: float       # warm execution time (compile/trace time excluded)
+    seconds: float       # warm execution time (compile/trace time excluded);
+                         # in batched group runs: this seed's iteration share
+                         # of the group wall-clock (see run_em_multi)
     windows_scored: int  # total windows scored across all iterations
     compile_seconds: float = 0.0  # trace+compile time (0 when cache-hot)
+    group_seconds: float = 0.0    # raw wall-clock of the batched group
+                                  # program this seed ran in (0 = solo run)
 
     @property
     def windows_per_sec(self) -> float:
@@ -134,10 +139,14 @@ def em_step(
     1 to the q denominator — both are corrected here so sharded and
     unsharded runs agree.
 
-    ``path``: 'gather' (XLA, any K), 'pallas' (fused TPU kernel, K <= 3),
-    'pallas_shard' (the kernel per data-axis shard inside shard_map, with
-    an explicit psum count merge — requires ``mesh``), or the
-    '*_interpret' variants (kernel correctness mode on CPU).
+    ``path``: 'gather' (XLA, any K), 'pallas' (fused TPU kernel — K <= 5
+    at A=4, gated by ``pallas_em.supported``), 'pallas_shard' (the kernel
+    per data-axis shard inside shard_map, with an explicit psum count
+    merge — requires ``mesh``), 'flat' (the alternative flat-layout
+    kernel in ops.pallas_flat; retained A/B loser, not chosen by
+    ``choose_path``), or the '*_interpret' variants ('pallas_interpret',
+    'pallas_shard_interpret', 'flat_interpret' — kernel correctness mode
+    on CPU).
     """
     R = encode.num_rows(A, K)
     lens = data["lens"]

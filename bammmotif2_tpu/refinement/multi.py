@@ -107,6 +107,16 @@ def run_em_multi(
         jax.block_until_ready(lls)
         seconds = time.perf_counter() - t0
 
+        # Per-seed timing attribution: the group is ONE device program, so
+        # only the group wall-clock is observable.  Each member is charged
+        # its iteration share of it (seconds * its_i / sum(its)); its
+        # windows_per_sec then equals the group's aggregate useful
+        # throughput n_win * sum(its) / seconds — the honest per-program
+        # number (do NOT sum windows_per_sec over members).  group_seconds
+        # carries the raw wall-clock for aggregate math.  ll_history holds
+        # only the final ll: the batched loop is one device program with no
+        # per-iteration host syncs (use run_em with verbose for a trace).
+        total_its = max(int(jnp.sum(its[: len(idxs)])), 1)
         for gi, i in enumerate(idxs):
             motifs[i].v = [np.asarray(v[k][gi], np.float64) for k in range(K + 1)]
             results[i] = EMResult(
@@ -116,8 +126,9 @@ def run_em_multi(
                 v_diff=float(vds[gi]),
                 converged=float(vds[gi]) < params.epsilon,
                 ll_history=[float(lls[gi])],
-                seconds=seconds,
+                seconds=seconds * int(its[gi]) / total_its,
                 windows_scored=n_win * int(its[gi]),
+                group_seconds=seconds,
             )
     return results
 

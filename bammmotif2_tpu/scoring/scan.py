@@ -220,6 +220,13 @@ def find_occurrences(
 ) -> list:
     """Windows with p-value below the cutoff, as occurrence records.
 
+    ``neg_scores`` must be the negatives' PER-WINDOW score pool
+    (``ScanResult.all_window_scores()``): the reference ranks scan scores
+    against the sorted per-window negative distribution from
+    ``calcLogOdds`` (``ScoreSeqSet::calcPvalues``, SURVEY.md 3.3) —
+    per-sequence ZOOPS maxima are a different distribution family and
+    would mis-scale the p/e-values (pinned by tests/test_scan_fdr.py).
+
     Streams chunk by chunk: p-values + thresholding reduce on device and
     only hit rows cross to the host, so memory stays bounded for
     genome-scale scans.  Reverse-strand windows are reported in forward

@@ -31,7 +31,9 @@ class Params:
     PWMFile: str | None = None              # --PWMFile (MEME / PEnG minimal MEME)
     BaMMFile: str | None = None             # --BaMMFile (.ihbcp)
     pattern: str | None = None              # --pattern IUPAC seed(s), ';'-separated
-    baseBgModelFile: str | None = None      # background for --BaMMFile init (.hbcp)
+    baseBgModelFile: str | None = None      # --baseBgModelFile : .hbcp paired
+                                            #   with --BaMMFile; its order-0
+                                            #   marginals become f_bg
     maxPWM: int | None = None               # --maxPWM : cap number of seeds
 
     # --- model options ------------------------------------------------- #

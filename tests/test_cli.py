@@ -229,3 +229,52 @@ class TestPipeline:
         a = (out1 / "t.hbcp").read_text()
         b = (out2 / "t.hbcp").read_text()
         assert a == b  # byte-identical round-trip through read->write
+
+    def test_output_optout_flags(self, workdir):
+        """--no-saveBaMMs / --no-savePRs suppress the respective outputs
+        (the reference's Global booleans gate these writes)."""
+        d, fasta, meme = workdir
+        out = d / "run_optout"
+        rc = main(
+            [str(out), fasta, "--PWMFile", meme, "--EM", "--FDR",
+             "--cvFold", "2", "--mFold", "2", "-q", "0.5", "--no-pallas",
+             "--basename", "t", "--no-saveBaMMs", "--no-savePRs"]
+        )
+        assert rc == 0
+        files = os.listdir(out)
+        assert "t_motif_1.ihbcp" not in files and "t_motif_1.ihbp" not in files
+        assert "t_motif_1.zoops.stats" not in files
+        assert "t_motif_1.mops.stats" not in files
+        assert "t.hbcp" in files  # background files are not gated
+
+    def test_base_bg_model_file_seeds_f_bg(self, workdir):
+        """--baseBgModelFile: the paired background's mono-nucleotide
+        marginals become the --BaMMFile init's order-0 interpolation base
+        (Motif::initFromBaMM's bgFile argument)."""
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.models.motifset import load_motifs
+        from bammmotif2_tpu.utils.config import Params
+
+        d, fasta, meme = workdir
+        out = d / "run_basebg"
+        rc = main(
+            [str(out), fasta, "--PWMFile", meme, "--EM", "-q", "0.5",
+             "--no-pallas", "--basename", "t"]
+        )
+        assert rc == 0
+        bg = BackgroundModel.read(str(out / "t.hbcp"))
+        f0 = np.asarray(bg.v[0], float)
+        f0 = f0 / f0.sum()
+        ms = load_motifs(
+            Params(
+                BaMMFile=str(out / "t_motif_1.ihbcp"),
+                baseBgModelFile=str(out / "t.hbcp"),
+            ),
+            np.full(4, 0.25),
+        )
+        np.testing.assert_allclose(ms[0].f_bg, f0, rtol=1e-6)
+        # without the flag, the caller-supplied frequencies stay in effect
+        ms2 = load_motifs(
+            Params(BaMMFile=str(out / "t_motif_1.ihbcp")), np.full(4, 0.25)
+        )
+        np.testing.assert_allclose(ms2[0].f_bg, np.full(4, 0.25))

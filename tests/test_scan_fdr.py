@@ -114,6 +114,36 @@ class TestScan:
         assert len(o1) > 0
 
 
+    def test_occurrence_pvalues_use_per_window_negative_distribution(
+        self, trained
+    ):
+        """Shipped .occurrence p-values rank against the negatives'
+        PER-WINDOW score pool (ScoreSeqSet::calcPvalues ranks calcLogOdds
+        window scores) — not the per-sequence ZOOPS maxima, a different
+        distribution whose use would deflate significance and mis-scale
+        e-values.  This test names and pins the shipped convention."""
+        sset, bg, m = trained
+        res = scan.score_set(m, bg, sset)
+        bg_fit = BackgroundModel.from_sequence_set(sset, order=2)
+        neg = seqgen.generate_neg_set(bg_fit, sset.lens, m_fold=2, seed=7)
+        neg_res = scan.score_set(m, bg, neg)
+        win_pool = neg_res.all_window_scores()
+        max_pool = neg_res.max_scores
+        # the two pools are genuinely different distributions
+        assert np.median(max_pool) > np.median(win_pool)
+
+        occs = scan.find_occurrences(res, sset, win_pool, pval_cutoff=0.01)
+        assert occs
+        for o in occs[:20]:
+            p_win = scan.empirical_pvalues(np.array([o.score]), win_pool)[0]
+            assert o.pvalue == pytest.approx(p_win, rel=1e-3)
+            # e-value = p * (#positive windows scanned)
+            assert o.evalue == pytest.approx(o.pvalue * res.n_windows, rel=1e-5)
+        # ranking the same score against the ZOOPS-max pool gives a LARGER
+        # (conservative) p — the convention shipped is the per-window one
+        p_max = scan.empirical_pvalues(np.array([occs[0].score]), max_pool)[0]
+        assert p_max >= occs[0].pvalue
+
 class TestSeqGen:
     def test_lengths_and_alphabet(self):
         sset = planted_set(n=50, l=60)

@@ -66,9 +66,10 @@ def build_problem_cpu(K):
 
 
 def time_em(K, path, problem):
-    """One timed 30-iter chained loop; returns ms/iter (see main: the
-    first loops per executable through the axon tunnel are polluted by
-    remote warm-up, so callers interleave rounds and take the min)."""
+    """One timed 30-iter chained loop; returns a (ms_per_iter, final
+    log-likelihood) tuple (see main: the first loops per executable
+    through the axon tunnel are polluted by remote warm-up, so callers
+    interleave rounds and take the min of the ms values)."""
     import jax
     import jax.numpy as jnp
 

@@ -30,6 +30,15 @@ cross-sequence traffic at all:
   * ZOOPS posterior: per-row max / exp / sum / divide             (VPU)
   * M-step counts  C += oh_b @ Rw_b^T, Rw_b[j, i] = r[b, i-j]     (MXU)
 
+Seed stacking (the MXU-fill lever): the E-step matmul's output dimension
+is only NT*Wp rows (48 of 128 at W=12) — the workload's own shape caps
+MXU utilization at 37.5% for a single seed.  ``em_counts_multi`` stacks M
+seeds' LUTs along the matmul OUTPUT rows (one shared one-hot per sequence
+row scores and counts every seed at once, M*NT*Wp rows), which is the
+TPU-native form of the reference driver's OpenMP-over-motifs
+(SURVEY.md 3.1) and makes multi-seed runs (--maxPWM N, BASELINE config 4)
+fill the MXU instead of dispatching M under-filled kernels.
+
 High orders (hi/lo split): a full one-hot over Q rows stops fitting VMEM
 past Q ~ a few hundred, so the row index is split as ``c = c_hi * Qlo +
 c_lo`` with Qlo = 128 (one MXU lane-tile; the div/mod lowers to a shift/
@@ -45,7 +54,11 @@ bf16 passes emulating fp32 x fp32) the f32 operand is split into bf16
 residual terms and multiplied against the EXACT bf16 one-hot — 3 terms
 reproduce full f32 precision in half the passes (scores), 2 terms are
 used for the counts matmul whose error is dominated by the ~5e-6 relative
-rounding of the posterior normalization either way.
+rounding of the posterior normalization either way.  The LUT's term split
+is precomputed ONCE outside the kernel (a (QloP, NT*Wt) bf16 input), and
+when the stacked output height NT*Wt still has partial 128-row MXU tiles
+(Wt <= TERM_STACK_MAX_WT) all terms issue as ONE dot — fewer partial
+tiles than NT separate dots.
 
 HBM traffic per iteration ~= one read of the int32 code tensor.  Counts
 return directly in combined-row space.
@@ -69,12 +82,18 @@ from bammmotif2_tpu.ops.escore import NEG_INF
 
 LANE = 128
 SUBLANE = 8
-MAX_B = 64  # larger blocks exceed v5e VMEM (2 scratch (B, Wp, SLp) tensors)
+MAX_B = 64  # larger blocks exceed v5e VMEM (2 scratch (B, M*Wp, SLp) tensors)
 MAX_QHI = 128  # hi values resolved by VPU masked accumulation
+MAX_SEEDS = 32  # seed-stack upper bound probed by max_seeds()
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in-kernel temporaries to aim for
 
 NT_SCORES = 3  # bf16 split terms for the E-step matmul (3 == full f32)
 NT_COUNTS = 2  # for the M-step matmul (posterior rounding dominates anyway)
+
+# issue all bf16 terms as one stacked dot only while the un-stacked output
+# height Wt leaves partial 128-row MXU tiles to recover; past this the
+# stacked (NT*Wt, SLp) f32 transient costs VMEM for ~no tile savings
+TERM_STACK_MAX_WT = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -100,17 +119,65 @@ def supported(K: int, A: int = 4) -> bool:
     return Qhi <= MAX_QHI
 
 
-def _block_seqs(SLp: int, Wp: int, fixed_bytes: int) -> int:
-    """Sequences per block: two (B, Wp, SLp) f32 scratches plus ~8 (B, SLp)
-    f32 row temporaries, on top of the fixed per-block tensors (one-hot,
-    V/RH scratch, LUT)."""
-    per_seq = SLp * (8 * Wp + 32)
-    avail = max(_VMEM_BUDGET - fixed_bytes, per_seq)
-    return max(1, min(MAX_B, avail // per_seq))
+def _geometry(A, K, W, S, L, M=1):
+    Q = encode.num_rows(A, K) + 1  # combined rows + sentinel
+    Qlo, Qhi = _hi_lo(K, A)
+    QloP = _round_up(Qlo, LANE)
+    Wp = _round_up(W, SUBLANE)
+    SLp = _round_up(S * L, LANE)
+    Wt = M * Qhi * Wp  # stacked matmul output height (seed-major)
+    stack_terms = Wt <= TERM_STACK_MAX_WT
+    # fixed per-block VMEM: low one-hot (bf16), term-stacked LUT (bf16),
+    # counts accumulator (f32), E/M matmul transients (f32; all terms
+    # at once when term-stacked, one term otherwise)
+    nt_live = (NT_SCORES + NT_COUNTS) if stack_terms else 2
+    fixed = (
+        QloP * SLp * 2
+        + QloP * NT_SCORES * Wt * 2
+        + QloP * Wt * 4
+        + nt_live * Wt * SLp * 4
+    )
+    # per-sequence: the two (M*Wp, SLp) f32 scratch planes + ~8 (B, SLp)
+    # row temporaries; when the per-row loops unroll (Qhi == 1) Mosaic
+    # stacks each row's (Wt, SLp) matmul transient, so budget it per row
+    per_seq = SLp * (8 * M * Wp + 32)
+    if Qhi == 1:
+        per_seq += 4 * Wt * SLp
+    avail = max(_VMEM_BUDGET - fixed, per_seq)
+    B = max(1, min(MAX_B, avail // per_seq))
+    return dict(
+        Q=Q, Qlo=Qlo, Qhi=Qhi, QloP=QloP, Wp=Wp, SLp=SLp, B=B,
+        M=M, Wt=Wt, stack_terms=stack_terms, fixed=fixed, per_seq=per_seq,
+    )
+
+
+# measured seed-stack sweep on a v5e (10k x 200 bp, K=2, W=12): aggregate
+# peaks at M ~ 4-6 (2.94 B w/s) and declines past it as VMEM pressure
+# shrinks the sequence block; two balanced chunks of 5 beat one stack of
+# 10 (12.96 vs 14.25 ms/iter)
+SWEET_SPOT_M = 6
+
+
+def max_seeds(K: int, W: int, *, A: int = 4, S: int = 2, L: int = 256) -> int:
+    """Largest efficient seed-stack M for em_counts_multi on this problem
+    geometry (>= 1).  refinement.multi splits larger groups into balanced
+    chunks of at most this.
+
+    Bounded by VMEM (with room for blocks of >= 8 sequences — tiny blocks
+    trade the MXU-fill win back away as grid overhead) and by the measured
+    throughput sweet spot SWEET_SPOT_M."""
+    for M in range(SWEET_SPOT_M, 1, -1):
+        g = _geometry(A, K, W, S, L, M)
+        if g["fixed"] + 8 * g["per_seq"] <= _VMEM_BUDGET:
+            return M
+    return 1
 
 
 def _split_terms(x, n):
-    """x (f32) == sum of n bf16 residual terms (exact for n >= 3)."""
+    """x (f32) == sum of n bf16 residual terms (exact for n >= 3).
+
+    IN-KERNEL (Mosaic) use only — Mosaic rounds the astype for real.
+    XLA-side callers must use _split_terms_xla (see its docstring)."""
     terms = []
     r = x
     for i in range(n):
@@ -121,13 +188,54 @@ def _split_terms(x, n):
     return terms
 
 
-def _split_dot(other_f32, exact_bf16, dims, nterms):
-    """dot_general(other, exact) with f32 accumulation; ``exact`` must be
-    exactly representable in bf16 (a 0/1 one-hot here)."""
+def _split_terms_xla(x, n):
+    """_split_terms for code that runs in XLA (outside the kernel).
+
+    Under TPU XLA's default --xla_allow_excess_precision, a plain
+    f32->bf16->f32 round trip is ELIDED inside jit, so the residual
+    ``r - t`` silently collapses to zero and the scores matmul degrades
+    to single-bf16 accuracy (~6e-3 relative; observed on hardware, same
+    bug class as ops/pallas_flat.py round 3).  lax.reduce_precision
+    forces the rounding."""
+    terms, r = [], x
+    for i in range(n):
+        t32 = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+        terms.append(t32.astype(jnp.bfloat16))
+        if i + 1 < n:
+            r = r - t32
+    return terms
+
+
+def _term_dot(terms_2d, nt, Wt, exact_bf16, dims, stack):
+    """dot(term-stacked operand, exact bf16 one-hot) with f32 accumulate.
+
+    terms_2d: bf16 with nt residual terms stacked term-major along its
+    NON-contracted axis (columns for the E-step LUT, rows for the M-step
+    responsibilities).  ``stack=True`` issues one dot over all terms and
+    sums the nt output slices (fewer partial MXU tiles when Wt < 128);
+    ``stack=False`` issues one dot per term slice (smaller f32 transients
+    for large Wt).  Either way the f32 result is the exact sum of
+    per-term products — identical rounding order.
+    """
+    if stack:
+        V3 = jax.lax.dot_general(
+            terms_2d, exact_bf16, dims, preferred_element_type=jnp.float32
+        )
+        # the operand's non-contracted axis is always result axis 0
+        V = V3[0:Wt]
+        for t in range(1, nt):
+            V = V + V3[t * Wt : (t + 1) * Wt]
+        return V
+    cdim = dims[0][0][0]  # contracted axis of terms_2d; terms stack on 1-cdim
     out = None
-    for t in _split_terms(other_f32, nterms):
+    for t in range(nt):
+        sl = (
+            terms_2d[:, t * Wt : (t + 1) * Wt]
+            if cdim == 0
+            else terms_2d[t * Wt : (t + 1) * Wt, :]
+        )
         p = jax.lax.dot_general(
-            t, exact_bf16, dims, preferred_element_type=jnp.float32
+            sl, exact_bf16, dims, preferred_element_type=jnp.float32
         )
         out = p if out is None else out + p
     return out
@@ -148,69 +256,85 @@ def _row_of(qcodes_ref, b):
     return qcodes_ref[0, pl.ds(b, 1), :]
 
 
-def _escore_row(codes_row, s5_ref, *, Qhi, Qlo, QloP, W, Wp, SLp):
-    """E-step scores for one (1, SLp) code row: (Wp, SLp) position scores.
+def _escore_row(codes_row, s5t_ref, *, M, Qhi, Qlo, QloP, Wp, SLp, stack):
+    """E-step scores for one (1, SLp) code row: (M*Wp, SLp) seed-major
+    position scores.
 
-    s5_ref holds the LUT regrouped as (QloP, Qhi*Wp):
-    s5g[l, h*Wp + j] = s5[h*Qlo + l, j].
+    s5t_ref holds the M seeds' LUTs' bf16 residual terms regrouped as
+    (QloP, NT_SCORES * M*Qhi*Wp), column = t*Wt + (m*Qhi + h)*Wp + j
+    (_term_stacked_lut) — the seed axis rides the matmul OUTPUT rows, so
+    ONE shared one-hot scores every term of every seed.
     """
+    Wt = M * Qhi * Wp
     lo = jax.lax.rem(codes_row, Qlo) if Qhi > 1 else codes_row
     oh_lo = _onehot_row(lo, QloP, SLp)
-    V = _split_dot(s5_ref[:], oh_lo, (((0,), (0,)), ((), ())), NT_SCORES)
+    V = _term_dot(
+        s5t_ref[:], NT_SCORES, Wt, oh_lo, (((0,), (0,)), ((), ())), stack
+    )  # (Wt, SLp)
     if Qhi == 1:
-        return V  # (Wp, SLp)
+        return V  # (M*Wp, SLp), seed-major
     hi = jax.lax.div(codes_row, Qlo)  # (1, SLp)
-    P = jnp.zeros((Wp, SLp), jnp.float32)
-    for h in range(Qhi):
-        mask_h = (hi == h).astype(jnp.float32)  # (1, SLp)
-        P = P + V[h * Wp : (h + 1) * Wp, :] * mask_h
-    return P
+    masks = [(hi == h).astype(jnp.float32) for h in range(Qhi)]
+    parts = []
+    for m in range(M):
+        Pm = jnp.zeros((Wp, SLp), jnp.float32)
+        for h in range(Qhi):
+            Pm = Pm + V[(m * Qhi + h) * Wp : (m * Qhi + h + 1) * Wp, :] * masks[h]
+        parts.append(Pm)
+    return parts[0] if M == 1 else jnp.concatenate(parts, axis=0)
 
 
-def _mstep_row(codes_row, rw_b, C5_ref, *, Qhi, Qlo, QloP, Wp, SLp):
-    """Accumulate counts for one row: C5_ref (QloP, Qhi*Wp) += oh_lo @ RH^T
-    where RH[h*Wp + j, i] = rw_b[j, i] * [c_hi == h]."""
+def _mstep_row(codes_row, rw_b, C5_ref, *, M, Qhi, Qlo, QloP, Wp, SLp, stack):
+    """Accumulate counts for one row: C5_ref (QloP, M*Qhi*Wp) += oh_lo @
+    RH^T where RH[(m*Qhi+h)*Wp + j, i] = rw_b[m*Wp + j, i] * [c_hi == h];
+    RH's f32 values split into NT_COUNTS bf16 terms (stacked into one dot
+    when ``stack``)."""
     lo = jax.lax.rem(codes_row, Qlo) if Qhi > 1 else codes_row
     oh_lo = _onehot_row(lo, QloP, SLp)
     if Qhi == 1:
-        RH = rw_b  # (Wp, SLp)
+        RH = rw_b  # (M*Wp, SLp) == (Wt, SLp)
     else:
         hi = jax.lax.div(codes_row, Qlo)
+        masks = [(hi == h).astype(jnp.float32) for h in range(Qhi)]
         parts = []
-        for h in range(Qhi):
-            mask_h = (hi == h).astype(jnp.float32)
-            parts.append(rw_b * mask_h)
-        RH = jnp.concatenate(parts, axis=0)  # (Qhi*Wp, SLp)
-    C5_ref[:] += _split_dot(RH, oh_lo, (((1,), (1,)), ((), ())), NT_COUNTS).T
+        for m in range(M):
+            rm = rw_b[m * Wp : (m + 1) * Wp, :]
+            for h in range(Qhi):
+                parts.append(rm * masks[h])
+        RH = jnp.concatenate(parts, axis=0)  # (Wt, SLp)
+    Wt = RH.shape[0]
+    RH2 = jnp.concatenate(_split_terms(RH, NT_COUNTS), axis=0)
+    G = _term_dot(
+        RH2, NT_COUNTS, Wt, oh_lo, (((1,), (1,)), ((), ())), stack
+    )  # (Wt, QloP)
+    C5_ref[:] += G.T
 
 
 def _kernel(
-    q_ref, qcodes_ref, lens_ref, s5_ref, ipos_ref,
+    q_ref, qcodes_ref, lens_ref, s5t_ref, ipos_ref,
     C5_ref, stats_ref, P3, rw3,
-    *, B, S, W, SLp, Qlo, Qhi, QloP, Wp,
+    *, B, S, W, SLp, Qlo, Qhi, QloP, Wp, M, SP, stack,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
         C5_ref[:] = jnp.zeros_like(C5_ref)
         rw3[:] = jnp.zeros_like(rw3)
         # SMEM accepts only scalar stores — initialize element-wise
-        stats_ref[0, 0] = 0.0
-        stats_ref[0, 1] = 0.0
+        for t in range(SP):
+            stats_ref[0, t] = 0.0
 
-    q = q_ref[0, 0]
-    log_r0 = jnp.log1p(-q)
-
-    # E-step scores per row: P3[b, j, i] = s5[code[b, i], j].
+    # E-step scores per row: P3[b, m*Wp + j, i] = s5[m][code[b, i], j].
     # Qhi == 1 (K <= 2 at A=4): Python-unrolled — Mosaic pipelines the per-row
     # matmuls (2.4x the fori_loop's throughput) and the per-row temporaries
-    # are small enough to stack.  Qhi > 1: fori_loop — the hi/lo masked
-    # temporaries are ~10x larger and an unrolled stack overflows VMEM.
+    # are small enough to stack (budgeted in _geometry).  Qhi > 1: fori_loop —
+    # the hi/lo masked temporaries are ~10x larger and an unrolled stack
+    # overflows VMEM.
     def e_body(b, _):
         P = _escore_row(
-            _row_of(qcodes_ref, b), s5_ref,
-            Qhi=Qhi, Qlo=Qlo, QloP=QloP, W=W, Wp=Wp, SLp=SLp,
+            _row_of(qcodes_ref, b), s5t_ref,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
         )
-        P3[pl.ds(b, 1), :, :] = P.reshape(1, Wp, SLp)
+        P3[pl.ds(b, 1), :, :] = P.reshape(1, M * Wp, SLp)
         return 0
 
     if Qhi == 1:
@@ -219,37 +343,41 @@ def _kernel(
     else:
         jax.lax.fori_loop(0, B, e_body, 0)
 
-    # window scores sc[b, i] = sum_j P3[b, j, i + j]; lane rolls wrap within
-    # the row, which is harmless: wrapped windows fail the i + W <= len mask
-    sc = P3[:, 0, :]  # (B, SLp)
-    for j in range(1, W):
-        sc = sc + pltpu.roll(P3[:, j, :], (SLp - j) % SLp, axis=1)
-
-    # ZOOPS posterior — all (B, 1)-vs-(B, SLp) row ops
+    # shared per-block geometry for the ZOOPS posterior
     lens = lens_ref[0]  # (B, 1) f32
     nwin = S * jnp.maximum(lens - (W - 1), 0.0)
-    log_prior = jnp.where(
-        nwin > 0, jnp.log(q) - jnp.log(jnp.maximum(nwin, 1.0)), NEG_INF
-    )  # (B, 1)
     ipos = ipos_ref[:].astype(jnp.float32)  # (1, SLp); huge on pad lanes
     mask = (ipos + W) <= lens  # (B, SLp)
-    logw = jnp.where(mask, sc + log_prior, NEG_INF)
 
-    m = jnp.maximum(jnp.max(logw, axis=1, keepdims=True), log_r0)  # (B, 1)
-    e = jnp.where(mask, jnp.exp(logw - m), 0.0)
-    z = jnp.exp(log_r0 - m) + jnp.sum(e, axis=1, keepdims=True)  # (B, 1)
-    logz = m + jnp.log(z)  # per-sequence marginal
-    r = e / z  # (B, SLp) window responsibilities
-
-    # M-step: rw3[b, j, i] = r[b, i - j]; rows W..Wp stay zero
-    for j in range(W):
-        rw3[:, j, :] = pltpu.roll(r, j, axis=1)
+    # per-seed: window scores (lane rolls), ZOOPS posterior, rw fill.
+    # window sums wrap within the row, which is harmless: wrapped windows
+    # fail the i + W <= len mask
+    for m in range(M):
+        q = q_ref[0, m]
+        log_r0 = jnp.log1p(-q)
+        sc = P3[:, m * Wp, :]  # (B, SLp)
+        for j in range(1, W):
+            sc = sc + pltpu.roll(P3[:, m * Wp + j, :], (SLp - j) % SLp, axis=1)
+        log_prior = jnp.where(
+            nwin > 0, jnp.log(q) - jnp.log(jnp.maximum(nwin, 1.0)), NEG_INF
+        )  # (B, 1)
+        logw = jnp.where(mask, sc + log_prior, NEG_INF)
+        mx = jnp.maximum(jnp.max(logw, axis=1, keepdims=True), log_r0)
+        e = jnp.where(mask, jnp.exp(logw - mx), 0.0)
+        z = jnp.exp(log_r0 - mx) + jnp.sum(e, axis=1, keepdims=True)
+        logz = mx + jnp.log(z)  # per-sequence marginal
+        r = e / z  # (B, SLp) window responsibilities
+        # rw3[b, m*Wp + j, i] = r[b, i - j]; rows j in W..Wp stay zero
+        for j in range(W):
+            rw3[:, m * Wp + j, :] = pltpu.roll(r, j, axis=1)
+        stats_ref[0, 2 * m] += jnp.sum(logz)
+        stats_ref[0, 2 * m + 1] += jnp.sum(r)
 
     def m_body(b, _):
-        rw_b = rw3[pl.ds(b, 1), :, :].reshape(Wp, SLp)
+        rw_b = rw3[pl.ds(b, 1), :, :].reshape(M * Wp, SLp)
         _mstep_row(
             _row_of(qcodes_ref, b), rw_b, C5_ref,
-            Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
         )
         return 0
 
@@ -258,21 +386,6 @@ def _kernel(
             m_body(b, 0)
     else:
         jax.lax.fori_loop(0, B, m_body, 0)
-
-    stats_ref[0, 0] += jnp.sum(logz)
-    stats_ref[0, 1] += jnp.sum(r)
-
-
-def _geometry(A, K, W, S, L):
-    Q = encode.num_rows(A, K) + 1  # combined rows + sentinel
-    Qlo, Qhi = _hi_lo(K, A)
-    QloP = _round_up(Qlo, LANE)
-    Wp = _round_up(W, SUBLANE)
-    SLp = _round_up(S * L, LANE)
-    # fixed per-block VMEM: low one-hot (bf16) + V/RH scratch + regrouped LUT
-    fixed = QloP * SLp * 2 + 2 * (Qhi * Wp) * SLp * 4 + QloP * (Qhi * Wp) * 4
-    B = _block_seqs(SLp, Wp, fixed)
-    return dict(Q=Q, Qlo=Qlo, Qhi=Qhi, QloP=QloP, Wp=Wp, SLp=SLp, B=B)
 
 
 def _prep(cidx, lens, g):
@@ -305,27 +418,118 @@ def _prep(cidx, lens, g):
     return qblk, lens_blk, jnp.asarray(ipos), pad, n_blocks
 
 
-def _grouped_lut(s_flat, W, g):
-    """Combined LUT regrouped by (lo, hi*W): sg[l, h*Wp + j] = s[h*Qlo+l, j].
+def _term_stacked_lut(s_flat3, W, g):
+    """[M, Q, W] f32 LUTs -> (QloP, NT_SCORES * M*Qhi*Wp) bf16 term stack.
 
-    s_flat has Q = R+1 rows; rows Q..Qhi*Qlo-1 are padding no code ever
-    indexes (zero score, zero counts)."""
-    Q, Qlo, Qhi, QloP, Wp = g["Q"], g["Qlo"], g["Qhi"], g["QloP"], g["Wp"]
-    s = jnp.pad(s_flat, ((0, Qhi * Qlo - Q), (0, Wp - W)))  # [Qhi*Qlo, Wp]
-    sg = s.reshape(Qhi, Qlo, Wp).transpose(1, 0, 2).reshape(Qlo, Qhi * Wp)
-    return jnp.pad(sg, ((0, QloP - Qlo), (0, 0))).astype(jnp.float32)
+    Column = t*Wt + (m*Qhi + h)*Wp + j holds bf16 residual term t of
+    s_flat3[m, h*Qlo + l, j] at row l (sum of the NT_SCORES terms == the
+    f32 value exactly).  Rows Q..Qhi*Qlo-1 of each seed are padding no
+    code ever indexes (zero score, zero counts); precomputing the term
+    split here keeps it out of the kernel's per-row loop entirely.
+    """
+    Q, Qlo, Qhi, Wp = g["Q"], g["Qlo"], g["Qhi"], g["Wp"]
+    QloP, M = g["QloP"], g["M"]
+    s = jnp.pad(s_flat3, ((0, 0), (0, Qhi * Qlo - Q), (0, Wp - W)))
+    sg = s.reshape(M, Qhi, Qlo, Wp).transpose(2, 0, 1, 3).reshape(
+        Qlo, M * Qhi * Wp
+    )
+    sg = jnp.pad(sg, ((0, QloP - Qlo), (0, 0))).astype(jnp.float32)
+    return jnp.concatenate(_split_terms_xla(sg, NT_SCORES), axis=1)
 
 
 def _ungroup_counts(Cg, W, g):
-    """(QloP, Qhi*Wp) kernel counts -> (Q, W) combined count rows."""
-    Q, Qlo, Qhi, Wp = g["Q"], g["Qlo"], g["Qhi"], g["Wp"]
-    C = Cg[:Qlo].reshape(Qlo, Qhi, Wp).transpose(1, 0, 2).reshape(
-        Qhi * Qlo, Wp
+    """(QloP, M*Qhi*Wp) kernel counts -> [M, Q, W] combined count rows."""
+    Q, Qlo, Qhi, Wp, M = g["Q"], g["Qlo"], g["Qhi"], g["Wp"], g["M"]
+    C = Cg[:Qlo].reshape(Qlo, M, Qhi, Wp).transpose(1, 2, 0, 3).reshape(
+        M, Qhi * Qlo, Wp
     )
-    return C[:Q, :W]
+    return C[:, :Q, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "R", "interpret"))
+def em_counts_multi(
+    s_flat: jnp.ndarray,
+    cidx: jnp.ndarray,
+    lens: jnp.ndarray,
+    q: jnp.ndarray,
+    *,
+    A: int,
+    K: int,
+    W: int,
+    R: int,
+    interpret: bool = False,
+):
+    """Seed-stacked fused E+M data pass: M seeds share every one-hot.
+
+    One kernel invocation scores and counts ALL M seeds against the same
+    sequence block — the M LUTs stack along the E/M matmuls' output rows
+    (M*NT*Wp instead of NT*Wp), filling the MXU that a single W=12 seed
+    structurally cannot (docs/PERFORMANCE.md roofline: 48/128 output rows
+    per seed).  TPU-native form of the reference's OpenMP-over-motifs
+    (SURVEY.md 3.1; BASELINE config 4 "top-10 PEnG seeds in parallel").
+    VMEM bounds M — callers chunk the seed axis to ``max_seeds``.
+
+    Args:
+      s_flat: [M, R+1, W] combined log-odds LUTs (one per seed).
+      cidx: [S, N, L] combined-row codes (encode.strand_indices).
+      lens: [N] int32.
+      q: [M] per-seed ZOOPS priors.
+
+    Returns (C [M, R+1, W] combined fractional counts, ll [M]).
+    """
+    M = s_flat.shape[0]
+    S, N, L = cidx.shape
+    g = _geometry(A, K, W, S, L, M)
+    qblk, lens_blk, ipos, pad, n_blocks = _prep(cidx, lens, g)
+    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
+    Wt = g["Wt"]
+    s5t = _term_stacked_lut(s_flat, W, g)
+    SP = max(8, 2 * M)
+
+    kernel = functools.partial(
+        _kernel, B=B, S=S, W=W, SLp=SLp,
+        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, M=M, SP=SP,
+        stack=g["stack_terms"],
+    )
+    C5g, stats = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QloP, NT_SCORES * Wt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SLp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((QloP, Wt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((QloP, Wt), jnp.float32),
+            jax.ShapeDtypeStruct((1, SP), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, M * Wp, SLp), jnp.float32),
+            pltpu.VMEM((B, M * Wp, SLp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(q, jnp.float32).reshape(1, M),
+        qblk,
+        lens_blk,
+        s5t,
+        ipos,
+    )
+
+    C = _ungroup_counts(C5g, W, g)  # [M, R+1, W] — combined rows directly
+    # zero-length block-pad rows each contribute exactly log(1-q_m)
+    ll = stats[0, 0 : 2 * M : 2] - jnp.float32(pad) * jnp.log1p(
+        -jnp.asarray(q, jnp.float32)
+    )
+    return C, ll
+
+
 def em_counts(
     s_flat: jnp.ndarray,
     cidx: jnp.ndarray,
@@ -338,7 +542,7 @@ def em_counts(
     R: int,
     interpret: bool = False,
 ):
-    """Fused E+M data pass.
+    """Fused E+M data pass for ONE seed (em_counts_multi with M=1).
 
     Args:
       s_flat: [R+1, W] combined log-odds LUT.
@@ -348,57 +552,19 @@ def em_counts(
 
     Returns (C [R+1, W] combined fractional counts, ll scalar).
     """
-    S, N, L = cidx.shape
-    g = _geometry(A, K, W, S, L)
-    qblk, lens_blk, ipos, pad, n_blocks = _prep(cidx, lens, g)
-    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
-    s5g = _grouped_lut(s_flat, W, g)
-
-    kernel = functools.partial(
-        _kernel, B=B, S=S, W=W, SLp=SLp,
-        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp,
+    C, ll = em_counts_multi(
+        s_flat[None],
+        cidx,
+        lens,
+        jnp.reshape(jnp.asarray(q, jnp.float32), (1,)),
+        A=A, K=K, W=W, R=R, interpret=interpret,
     )
-    C5g, stats = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QloP, Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SLp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((QloP, Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((QloP, Qhi * Wp), jnp.float32),
-            jax.ShapeDtypeStruct((1, 8), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, Wp, SLp), jnp.float32),
-            pltpu.VMEM((B, Wp, SLp), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(q, jnp.float32).reshape(1, 1),
-        qblk,
-        lens_blk,
-        s5g,
-        ipos,
-    )
-
-    C = _ungroup_counts(C5g, W, g)  # (R+1, W) — combined rows directly
-    ll = stats[0, 0] - jnp.float32(pad) * jnp.log1p(
-        -jnp.asarray(q, jnp.float32)
-    )
-    return C, ll
+    return C[0], ll[0]
 
 
 def _counts_kernel(
     qcodes_ref, r_ref, C5_ref, rw3,
-    *, B, W, SLp, Qlo, Qhi, QloP, Wp,
+    *, B, W, SLp, Qlo, Qhi, QloP, Wp, stack,
 ):
     """M-step-only variant: counts from EXTERNAL responsibilities.
 
@@ -420,7 +586,7 @@ def _counts_kernel(
         rw_b = rw3[pl.ds(b, 1), :, :].reshape(Wp, SLp)
         _mstep_row(
             _row_of(qcodes_ref, b), rw_b, C5_ref,
-            Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp,
+            M=1, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
         )
         return 0
 
@@ -466,7 +632,7 @@ def counts_from_r(
 
     kernel = functools.partial(
         _counts_kernel, B=B, W=W, SLp=SLp,
-        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp,
+        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, stack=g["stack_terms"],
     )
     C5g, = pl.pallas_call(
         kernel,
@@ -483,19 +649,19 @@ def counts_from_r(
         interpret=interpret,
     )(qblk, rblk)
 
-    return _ungroup_counts(C5g, W, g)  # (R+1, W)
+    return _ungroup_counts(C5g, W, g)[0]  # (R+1, W)
 
 
 def _scores_kernel(
-    qcodes_ref, s5_ref, sc_ref, P3,
-    *, B, W, SLp, Qlo, Qhi, QloP, Wp,
+    qcodes_ref, s5t_ref, sc_ref, P3,
+    *, B, W, SLp, Qlo, Qhi, QloP, Wp, stack,
 ):
     """Scores-only variant of _kernel: window log-odds, no posterior."""
 
     def e_body(b, _):
         P = _escore_row(
-            _row_of(qcodes_ref, b), s5_ref,
-            Qhi=Qhi, Qlo=Qlo, QloP=QloP, W=W, Wp=Wp, SLp=SLp,
+            _row_of(qcodes_ref, b), s5t_ref,
+            M=1, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
         )
         P3[pl.ds(b, 1), :, :] = P.reshape(1, Wp, SLp)
         return 0
@@ -535,18 +701,18 @@ def window_scores(
     g = _geometry(A, K, W, S, L)
     qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
     Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
-    s5g = _grouped_lut(s_flat, W, g)
+    s5t = _term_stacked_lut(s_flat[None], W, g)
 
     kernel = functools.partial(
         _scores_kernel, B=B, W=W, SLp=SLp,
-        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp,
+        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, stack=g["stack_terms"],
     )
     sc, = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QloP, Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QloP, NT_SCORES * Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -554,7 +720,7 @@ def window_scores(
         out_shape=[jax.ShapeDtypeStruct((n_blocks, B, SLp), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, Wp, SLp), jnp.float32)],
         interpret=interpret,
-    )(qblk, s5g)
+    )(qblk, s5t)
 
     n_win = L - W + 1
     # each row's first S*L lanes are strand-major [S, L]

@@ -2,12 +2,16 @@
 
 TPU-native equivalent of the reference driver's
 ``#pragma omp parallel for`` over the MotifSet (SURVEY.md 3.1): instead of
-threads, all seeds of equal (W, K) refine in ONE batched XLA program —
-the per-seed EM step is statically unrolled inside a single jitted
-while_loop (NOT jax.vmap: the Pallas batching rule costs ~15x on TPU) and
-the sequence tensors are shared.  On a ('data', 'seed') mesh the seed
-axis shards over its own mesh axis while sequences shard over 'data'
-(2-D parallelism).
+threads, all seeds of equal (W, K) refine in ONE batched XLA program
+inside a single jitted while_loop, and the sequence tensors are shared.
+On the Pallas path the seeds are STACKED INTO ONE KERNEL
+(pallas_em.em_counts_multi): the M LUTs ride the E/M matmuls' output rows
+so every seed shares the same one-hot — this fills the MXU that a single
+W~12 seed structurally cannot (docs/PERFORMANCE.md) and compiles once for
+the whole group instead of M times.  The gather/flat fallbacks statically
+unroll the per-seed step (NOT jax.vmap: the Pallas batching rule costs
+~15x on TPU).  On a ('data', 'seed') mesh the seed axis shards over its
+own mesh axis while sequences shard over 'data' (2-D parallelism).
 
 Seeds with differing widths are grouped by (W, K) and each group runs
 batched; the host loop iterates until every member converges (finished
@@ -133,18 +137,48 @@ def run_em_multi(
     return results
 
 
-def _pallas_shard_batched_step(A: int, K: int, W: int, optimize_q: bool,
-                               mesh, interpret: bool = False):
-    """One batched EM iteration on a ('data', 'seed') mesh with the fused
-    Pallas kernel: shard_map composes OUTSIDE, vmap INSIDE — each device
-    runs the kernel for its local seed slice over its local data shard,
-    then one psum over 'data' merges counts/likelihood.  Model math
+def _stacked_em_counts(s_flat_m, cidx, lens, q_m, *, A, K, W, R, interpret):
+    """Seed-stacked fused kernel in VMEM-bounded chunks.
+
+    One pallas_em.em_counts_multi call scores/counts up to max_seeds seeds
+    at once — the M LUTs ride the matmuls' output rows so every seed shares
+    the same one-hot (the MXU-fill lever, docs/PERFORMANCE.md).  Larger
+    groups split into static chunks.  Returns (C [M, R+1, W], ll [M]).
+    """
+    from bammmotif2_tpu.ops import pallas_em
+
+    M = s_flat_m.shape[0]
+    S, _, L = cidx.shape
+    Mc = pallas_em.max_seeds(K, W, A=A, S=S, L=L)
+    if M <= Mc:
+        return pallas_em.em_counts_multi(
+            s_flat_m, cidx, lens, q_m, A=A, K=K, W=W, R=R, interpret=interpret
+        )
+    # balanced chunks: 7 seeds at Mc=6 run as 4+3, not 6+1 — a trailing
+    # tiny stack wastes the whole point (measured on v5e: 4+3 beats 6+1)
+    n_chunks = -(-M // Mc)
+    size = -(-M // n_chunks)
+    Cs, lls = [], []
+    for i0 in range(0, M, size):
+        C_i, ll_i = pallas_em.em_counts_multi(
+            s_flat_m[i0 : i0 + size], cidx, lens, q_m[i0 : i0 + size],
+            A=A, K=K, W=W, R=R, interpret=interpret,
+        )
+        Cs.append(C_i)
+        lls.append(ll_i)
+    return jnp.concatenate(Cs), jnp.concatenate(lls)
+
+
+def _pallas_batched_step(A: int, K: int, W: int, optimize_q: bool,
+                         mesh=None, interpret: bool = False):
+    """One batched EM iteration over the seed axis with the seed-stacked
+    Pallas kernel.  With a mesh: shard_map composes OUTSIDE — each device
+    runs the stacked kernel for its local seed slice over its local data
+    shard, then one psum over 'data' merges counts/likelihood.  Without a
+    mesh the stacked kernel runs on the full data.  Model math
     (pseudo-count update, q, v_diff) stays in plain GSPMD per seed.
     """
-    from jax.sharding import PartitionSpec as P
-
     from bammmotif2_tpu.models import motif as motif_mod
-    from bammmotif2_tpu.ops import pallas_em
 
     R = encode.num_rows(A, K)
 
@@ -152,30 +186,29 @@ def _pallas_shard_batched_step(A: int, K: int, W: int, optimize_q: bool,
         bg_flat = data["bg_flat"]
         s_flat = jax.vmap(lambda vk: motif_mod.log_odds_lut(vk, bg_flat))(v)
 
-        def per_shard(s_flat_l, q_l, cidx_s, lens_s):
-            # static unrolled loop over local seeds, NOT vmap: the Pallas
-            # batching rule costs ~15x on TPU (measured); seed counts are
-            # small so unrolling is cheap and XLA pipelines the calls
-            Ml = s_flat_l.shape[0]
-            outs = [
-                pallas_em.em_counts(
-                    s_flat_l[m], cidx_s, lens_s, q_l[m],
+        if mesh is None:
+            C, ll = _stacked_em_counts(
+                s_flat, data["cidx"], data["lens"], q,
+                A=A, K=K, W=W, R=R, interpret=interpret,
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def per_shard(s_flat_l, q_l, cidx_s, lens_s):
+                C, ll = _stacked_em_counts(
+                    s_flat_l, cidx_s, lens_s, q_l,
                     A=A, K=K, W=W, R=R, interpret=interpret,
                 )
-                for m in range(Ml)
-            ]
-            C = jnp.stack([o[0] for o in outs])
-            ll = jnp.stack([o[1] for o in outs])
-            return jax.lax.psum(C, "data"), jax.lax.psum(ll, "data")
+                return jax.lax.psum(C, "data"), jax.lax.psum(ll, "data")
 
-        C, ll = jax.shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P("seed"), P("seed"), P(None, "data", None),
-                      P("data")),
-            out_specs=(P("seed"), P("seed")),
-            check_vma=False,  # pallas_call outs carry no vma annotation
-        )(s_flat, q, data["cidx"], data["lens"])
+            C, ll = jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P("seed"), P("seed"), P(None, "data", None),
+                          P("data")),
+                out_specs=(P("seed"), P("seed")),
+                check_vma=False,  # pallas_call outs carry no vma annotation
+            )(s_flat, q, data["cidx"], data["lens"])
 
         def finish(Cm, qm, am, vm):
             counts = motif_mod.counts_from_combined(Cm[:R], A, K)
@@ -213,8 +246,13 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
     """
 
     if path.startswith("pallas_shard"):
-        batched = _pallas_shard_batched_step(
+        batched = _pallas_batched_step(
             A, K, W, optimize_q, mesh, interpret=path.endswith("interpret")
+        )
+    elif path.startswith("pallas"):
+        batched = _pallas_batched_step(
+            A, K, W, optimize_q, mesh=None,
+            interpret=path.endswith("interpret"),
         )
     else:
 

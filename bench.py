@@ -115,6 +115,44 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def time_em_multi(M: int = 3) -> float:
+    """Aggregate multi-seed EM throughput (windows/s summed over seeds).
+
+    M seeds stacked into ONE Pallas kernel per iteration — the seed LUTs
+    ride the matmuls' output rows (pallas_em.em_counts_multi via
+    refinement.multi's batched step), the MXU-fill configuration of
+    BASELINE config 4 ("top-10 PEnG seeds in parallel").
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bammmotif2_tpu.refinement.multi import _pallas_batched_step
+
+    v1, q1, data, alphas1, f_bg, n_win = build_problem()
+    nr = jnp.asarray(float(N_SEQS), jnp.float32)
+    v = tuple(jnp.stack([vk] * M) for vk in v1)
+    q = jnp.full((M,), 0.9, jnp.float32)
+    alphas = jnp.stack([alphas1] * M)
+    step = _pallas_batched_step(4, K, W, True, mesh=None, interpret=False)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(v, q, n):
+        def body(_, carry):
+            vv, qq, _ll, _vd = step(carry[0], carry[1], data, alphas, f_bg, nr)
+            return vv, qq
+
+        return jax.lax.fori_loop(0, n, body, (v, q))
+
+    jax.block_until_ready(loop(v, q, N_TIMED_ITERS))  # compile + warm
+    dt = min(
+        _timed(lambda: jax.block_until_ready(loop(v, q, N_TIMED_ITERS)))
+        for _ in range(3)
+    )
+    return M * n_win * N_TIMED_ITERS / dt
+
+
 def time_scan() -> float:
     """Scanner throughput: the scores-only Pallas kernel on the same set."""
     import jax
@@ -180,11 +218,17 @@ def main():
         else:
             raise
 
-    # secondary metric: genome-scale scanning throughput (scores-only kernel)
+    # secondary metrics: genome-scale scanning throughput (scores-only
+    # kernel) and 3-seed stacked aggregate (the MXU-fill configuration)
     scan_wps = None
+    multi3_wps = None
     if backend == "tpu":
         try:
             scan_wps = time_scan()
+        except Exception:
+            pass
+        try:
+            multi3_wps = time_em_multi(3)
         except Exception:
             pass
 
@@ -216,6 +260,8 @@ def main():
     }
     if scan_wps:
         out["scan_windows_per_sec"] = round(scan_wps)
+    if multi3_wps:
+        out["multi3_agg_windows_per_sec"] = round(multi3_wps)
     print(json.dumps(out))
 
 

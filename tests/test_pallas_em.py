@@ -243,3 +243,139 @@ class TestPallasWindowScores:
         np.testing.assert_allclose(
             np.asarray(sc_g), np.asarray(sc_p), atol=1e-5
         )
+
+
+class TestSeedStackedKernel:
+    """em_counts_multi: M seeds stacked into ONE kernel (the MXU-fill
+    lever — LUTs ride the matmul output rows, one shared one-hot)."""
+
+    @staticmethod
+    def _luts(v, data, M):
+        from bammmotif2_tpu.models.motif import log_odds_lut
+
+        base = np.asarray(log_odds_lut(v, data["bg_flat"]))
+        rng = np.random.default_rng(3)
+        luts = np.stack([
+            base if m == 0
+            else base * rng.uniform(0.6, 1.4) + rng.normal(0, 0.05, base.shape)
+            for m in range(M)
+        ])
+        luts[:, -1, :] = 0.0  # sentinel row scores zero (log_odds_lut contract)
+        return jnp.asarray(luts, jnp.float32)
+
+    @pytest.mark.parametrize(
+        "K,W,M", [(0, 8, 3), (2, 8, 3), (2, 12, 7), (3, 6, 2), (4, 6, 2)]
+    )
+    def test_multi_matches_gather_oracle(self, K, W, M):
+        from bammmotif2_tpu.ops import escore, pallas_em
+
+        v, data, motif = _setup(K, W)
+        R = encode.num_rows(4, K)
+        luts = self._luts(v, data, M)
+        qs = jnp.asarray(
+            np.random.default_rng(4).uniform(0.3, 0.95, M), jnp.float32
+        )
+        C_m, ll_m = pallas_em.em_counts_multi(
+            luts, data["cidx"], data["lens"], qs,
+            A=4, K=K, W=W, R=R, interpret=True,
+        )
+        assert C_m.shape == (M, R + 1, W) and ll_m.shape == (M,)
+        for m in range(M):
+            scores, mask = escore.window_scores(
+                luts[m], data["cidx"], data["lens"], W
+            )
+            r, _r0, ll = escore.zoops_posterior(scores, mask, qs[m])
+            C = escore.mstep_counts(r, data["cidx"], R, W)
+            # atol 1e-4: the NT_COUNTS=2 bf16 split carries ~5e-7 relative
+            # error and these perturbed-LUT counts reach magnitude ~30
+            np.testing.assert_allclose(
+                np.asarray(C_m[m]), np.asarray(C), atol=1e-4
+            )
+            np.testing.assert_allclose(float(ll_m[m]), float(ll), rtol=3e-5)
+
+    def test_seed_chunking_matches_unchunked(self, monkeypatch):
+        """_stacked_em_counts splits seed groups beyond max_seeds into
+        static chunks with identical results."""
+        from bammmotif2_tpu.ops import pallas_em
+        from bammmotif2_tpu.refinement import multi as multi_mod
+
+        K, W, M = 2, 8, 5
+        v, data, motif = _setup(K, W)
+        R = encode.num_rows(4, K)
+        luts = self._luts(v, data, M)
+        qs = jnp.asarray(
+            np.random.default_rng(5).uniform(0.3, 0.95, M), jnp.float32
+        )
+        C_a, ll_a = pallas_em.em_counts_multi(
+            luts, data["cidx"], data["lens"], qs,
+            A=4, K=K, W=W, R=R, interpret=True,
+        )
+        monkeypatch.setattr(pallas_em, "max_seeds", lambda *a, **k: 2)
+        C_b, ll_b = multi_mod._stacked_em_counts(
+            luts, data["cidx"], data["lens"], qs,
+            A=4, K=K, W=W, R=R, interpret=True,
+        )
+        # chunked blocks partition sequences differently -> f32 accumulation
+        # order differs slightly
+        np.testing.assert_allclose(np.asarray(C_a), np.asarray(C_b), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ll_a), np.asarray(ll_b), rtol=1e-5)
+
+    def test_batched_optimize_stacked_matches_gather(self):
+        """The multi-seed EM convergence loop on the stacked-kernel path
+        agrees with the gather path for a fixed iteration budget."""
+        from bammmotif2_tpu.refinement.multi import _batched_optimize
+
+        K, W, M = 2, 8, 3
+        v1, data, motif = _setup(K, W)
+        rng = np.random.default_rng(6)
+        v = tuple(
+            jnp.asarray(
+                np.stack([
+                    np.asarray(vk) if m == 0 else
+                    np.clip(np.asarray(vk) * rng.uniform(0.8, 1.2, vk.shape), 1e-4, None)
+                    for m in range(M)
+                ]),
+                jnp.float32,
+            )
+            for vk in v1
+        )
+        q = jnp.asarray(rng.uniform(0.4, 0.9, M), jnp.float32)
+        alphas = jnp.asarray(
+            np.stack([np.asarray(motif.alphas)] * M), jnp.float32
+        )
+        f_bg = jnp.asarray(motif.f_bg, jnp.float32)
+        nr = jnp.asarray(float(data["lens"].shape[0]), jnp.float32)
+        eps = jnp.float32(0.0)  # run the fixed 5-iteration budget on both
+
+        outs = {}
+        for path in ("gather", "pallas_interpret"):
+            loop = _batched_optimize(4, K, W, True, path, 5, mesh=None)
+            outs[path] = loop(v, q, data, alphas, f_bg, nr, eps)
+        vg, qg, llg, _, itg = outs["gather"]
+        vp, qp, llp, _, itp = outs["pallas_interpret"]
+        np.testing.assert_array_equal(np.asarray(itg), np.asarray(itp))
+        np.testing.assert_allclose(np.asarray(qg), np.asarray(qp), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(llg), np.asarray(llp), rtol=1e-5)
+        for a, b in zip(vg, vp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_unstacked_term_dots_match(self, monkeypatch):
+        """The large-Wt path (one dot per bf16 term, TERM_STACK_MAX_WT
+        exceeded — production geometry at K=5, W=12) matches the
+        term-stacked single-dot path."""
+        from bammmotif2_tpu.ops import pallas_em
+
+        K, W, M = 2, 8, 2
+        v, data, motif = _setup(K, W)
+        R = encode.num_rows(4, K)
+        luts = self._luts(v, data, M)
+        qs = jnp.asarray([0.6, 0.8], jnp.float32)
+        args = (luts, data["cidx"], data["lens"], qs)
+        kw = dict(A=4, K=K, W=W, R=R, interpret=True)
+        C_a, ll_a = pallas_em.em_counts_multi(*args, **kw)
+        pallas_em.em_counts_multi._clear_cache()  # geometry is trace-time
+        monkeypatch.setattr(pallas_em, "TERM_STACK_MAX_WT", 0)
+        C_b, ll_b = pallas_em.em_counts_multi(*args, **kw)
+        pallas_em.em_counts_multi._clear_cache()  # drop the patched trace
+        np.testing.assert_allclose(np.asarray(C_a), np.asarray(C_b), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ll_a), np.asarray(ll_b), rtol=1e-5)

@@ -122,7 +122,7 @@ class TestMultiSeedShardedPallas:
 
         from bammmotif2_tpu.ops import encode
         from bammmotif2_tpu.refinement.em import em_step, prepare_data
-        from bammmotif2_tpu.refinement.multi import _pallas_shard_batched_step
+        from bammmotif2_tpu.refinement.multi import _pallas_batched_step
 
         sset, bg = planted
         seeds = [seed_motif(sset, soft=s) for s in (0.6, 0.7)]
@@ -152,7 +152,7 @@ class TestMultiSeedShardedPallas:
         qb = jnp.full((2,), 0.9, jnp.float32)
         ab = jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in seeds])
         f_bg = jnp.asarray(seeds[0].f_bg, jnp.float32)
-        step = _pallas_shard_batched_step(
+        step = _pallas_batched_step(
             4, K, W, True, mesh, interpret=True
         )
         v_new, q_new, lls, vds = jax.jit(step)(vb, qb, sdata, ab, f_bg, nr)

@@ -265,9 +265,18 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
                 bg_fit, pos_set.lens, m_fold=max(params.mFold, 1),
                 seed=params.seed,
             )
+        # motifs of equal (W, K) scan in ONE seed-stacked kernel pass per
+        # chunk (scan.score_set_multi) — the stacked form of the reference
+        # driver's per-motif ScoreSeqSet loop
+        scan_groups: dict = {}
         for m in motifs:
-            res = scan.score_set(m, bg, pos_set, ss=params.ss)
-            neg_res = scan.score_set(m, bg, neg_sample, ss=params.ss)
+            scan_groups.setdefault((m.W, m.K), []).append(m)
+        scan_pairs: list = []
+        for group in scan_groups.values():
+            res_list = scan.score_set_multi(group, bg, pos_set, ss=params.ss)
+            neg_list = scan.score_set_multi(group, bg, neg_sample, ss=params.ss)
+            scan_pairs += list(zip(group, res_list, neg_list))
+        for m, res, neg_res in scan_pairs:
             # per-window occurrence p-values rank against the negatives'
             # PER-WINDOW score distribution (ScoreSeqSet::calcPvalues ranks
             # calcLogOdds window scores, SURVEY.md 3.3) — NOT the ZOOPS

@@ -90,6 +90,12 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in-kernel temporaries to aim for
 NT_SCORES = 3  # bf16 split terms for the E-step matmul (3 == full f32)
 NT_COUNTS = 2  # for the M-step matmul (posterior rounding dominates anyway)
 
+# hi/lo (Qhi > 1) per-row fori_loops: partial unroll factor.  1 = strict
+# sequential (round-3 behavior); 2 lets Mosaic interleave row b's VPU
+# masked-accumulates with row b+1's MXU contraction at 2x the transient
+# VMEM.  Geometry accounts for it; A/B'd on hardware.
+HI_UNROLL = 1
+
 # issue all bf16 terms as one stacked dot only while the un-stacked output
 # height Wt leaves partial 128-row MXU tiles to recover; past this the
 # stacked (NT*Wt, SLp) f32 transient costs VMEM for ~no tile savings
@@ -341,7 +347,7 @@ def _kernel(
         for b in range(B):
             e_body(b, 0)
     else:
-        jax.lax.fori_loop(0, B, e_body, 0)
+        jax.lax.fori_loop(0, B, e_body, 0, unroll=HI_UNROLL)
 
     # shared per-block geometry for the ZOOPS posterior
     lens = lens_ref[0]  # (B, 1) f32
@@ -385,7 +391,7 @@ def _kernel(
         for b in range(B):
             m_body(b, 0)
     else:
-        jax.lax.fori_loop(0, B, m_body, 0)
+        jax.lax.fori_loop(0, B, m_body, 0, unroll=HI_UNROLL)
 
 
 def _prep(cidx, lens, g):
@@ -564,29 +570,32 @@ def em_counts(
 
 def _counts_kernel(
     qcodes_ref, r_ref, C5_ref, rw3,
-    *, B, W, SLp, Qlo, Qhi, QloP, Wp, stack,
+    *, B, W, SLp, Qlo, Qhi, QloP, Wp, M, stack,
 ):
     """M-step-only variant: counts from EXTERNAL responsibilities.
 
     Used by collapsed Gibbs sampling, whose hard 0/1 occupancy tensor is
     produced by the sampler (z ~ Categorical) rather than the in-kernel
     posterior; scores come from _scores_kernel, counts land here instead
-    of the XLA segment-sum scatter (~100x slower on TPU).
+    of the XLA segment-sum scatter (~100x slower on TPU).  Seed-stacked
+    like _kernel: r_ref row m*B + b is seed m's responsibilities for
+    block sequence b, and all M seeds share each one-hot.
     """
     @pl.when(pl.program_id(0) == 0)
     def _():
         C5_ref[:] = jnp.zeros_like(C5_ref)
         rw3[:] = jnp.zeros_like(rw3)
 
-    r = r_ref[0]  # (B, SLp) f32
-    for j in range(W):
-        rw3[:, j, :] = pltpu.roll(r, j, axis=1)
+    for m in range(M):
+        r = r_ref[0, pl.ds(m * B, B), :]  # (B, SLp) f32
+        for j in range(W):
+            rw3[:, m * Wp + j, :] = pltpu.roll(r, j, axis=1)
 
     def m_body(b, _):
-        rw_b = rw3[pl.ds(b, 1), :, :].reshape(Wp, SLp)
+        rw_b = rw3[pl.ds(b, 1), :, :].reshape(M * Wp, SLp)
         _mstep_row(
             _row_of(qcodes_ref, b), rw_b, C5_ref,
-            M=1, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
         )
         return 0
 
@@ -594,10 +603,71 @@ def _counts_kernel(
         for b in range(B):
             m_body(b, 0)
     else:
-        jax.lax.fori_loop(0, B, m_body, 0)
+        jax.lax.fori_loop(0, B, m_body, 0, unroll=HI_UNROLL)
 
 
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "R", "interpret"))
+def counts_from_r_multi(
+    r_msnl: jnp.ndarray,
+    cidx: jnp.ndarray,
+    *,
+    A: int,
+    K: int,
+    W: int,
+    R: int,
+    interpret: bool = False,
+):
+    """Seed-stacked M-step counts from explicit responsibility tensors.
+
+    Args:
+      r_msnl: [M, S, N, L] per-seed window responsibilities laid out like
+        cidx (zero on invalid/pad positions and beyond each sequence's
+        window frontier).
+      cidx: [S, N, L] combined-row codes (shared by all seeds).
+
+    Returns C: f32 [M, R+1, W].  One kernel counts every seed — the M
+    responsibility planes ride the counts matmul's output rows against
+    one shared one-hot per sequence row (cf. em_counts_multi).
+    """
+    M = r_msnl.shape[0]
+    S, N, L = cidx.shape
+    g = _geometry(A, K, W, S, L, M)
+    qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
+    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
+
+    # per-seed responsibilities through the (n_blocks, M*B, SLp) layout
+    # (row m*B + b = seed m, block sequence b), pad 0
+    rn = jnp.moveaxis(r_msnl, 1, 2).reshape(M, N, S * L)
+    rn = jnp.pad(rn, ((0, 0), (0, pad), (0, SLp - S * L)))
+    rblk = (
+        rn.reshape(M, n_blocks, B, SLp)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_blocks, M * B, SLp)
+        .astype(jnp.float32)
+    )
+
+    kernel = functools.partial(
+        _counts_kernel, B=B, W=W, SLp=SLp,
+        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, M=M, stack=g["stack_terms"],
+    )
+    C5g, = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M * B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((QloP, g["Wt"]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((QloP, g["Wt"]), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, M * Wp, SLp), jnp.float32)],
+        interpret=interpret,
+    )(qblk, rblk)
+
+    return _ungroup_counts(C5g, W, g)  # [M, R+1, W]
+
+
 def counts_from_r(
     r_snl: jnp.ndarray,
     cidx: jnp.ndarray,
@@ -608,7 +678,8 @@ def counts_from_r(
     R: int,
     interpret: bool = False,
 ):
-    """M-step counts from an explicit responsibility tensor.
+    """M-step counts for ONE responsibility tensor (counts_from_r_multi
+    with M=1).
 
     Args:
       r_snl: [S, N, L] window responsibilities laid out like cidx (zero on
@@ -618,66 +689,104 @@ def counts_from_r(
     Returns C: f32 [R+1, W] combined fractional counts (same contract as
     ops.escore.mstep_counts).
     """
-    S, N, L = cidx.shape
-    g = _geometry(A, K, W, S, L)
-    qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
-    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
-
-    # responsibilities through the same (n_blocks, B, SLp) layout, pad 0
-    rn = jnp.moveaxis(r_snl, 0, 1).reshape(N, S * L)
-    rn = jnp.pad(rn, ((0, 0), (0, SLp - S * L)))
-    if pad:
-        rn = jnp.concatenate([rn, jnp.zeros((pad, SLp), rn.dtype)], axis=0)
-    rblk = rn.reshape(n_blocks, B, SLp).astype(jnp.float32)
-
-    kernel = functools.partial(
-        _counts_kernel, B=B, W=W, SLp=SLp,
-        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, stack=g["stack_terms"],
-    )
-    C5g, = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((QloP, Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((QloP, Qhi * Wp), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((B, Wp, SLp), jnp.float32)],
-        interpret=interpret,
-    )(qblk, rblk)
-
-    return _ungroup_counts(C5g, W, g)[0]  # (R+1, W)
+    return counts_from_r_multi(
+        r_snl[None], cidx, A=A, K=K, W=W, R=R, interpret=interpret
+    )[0]
 
 
 def _scores_kernel(
     qcodes_ref, s5t_ref, sc_ref, P3,
-    *, B, W, SLp, Qlo, Qhi, QloP, Wp, stack,
+    *, B, W, SLp, Qlo, Qhi, QloP, Wp, M, stack,
 ):
-    """Scores-only variant of _kernel: window log-odds, no posterior."""
+    """Scores-only variant of _kernel: window log-odds, no posterior.
+
+    Seed-stacked: sc_ref row m*B + b carries seed m's window scores for
+    block sequence b."""
 
     def e_body(b, _):
         P = _escore_row(
             _row_of(qcodes_ref, b), s5t_ref,
-            M=1, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=SLp, stack=stack,
         )
-        P3[pl.ds(b, 1), :, :] = P.reshape(1, Wp, SLp)
+        P3[pl.ds(b, 1), :, :] = P.reshape(1, M * Wp, SLp)
         return 0
 
     if Qhi == 1:  # unroll/loop trade-off: see _kernel
         for b in range(B):
             e_body(b, 0)
     else:
-        jax.lax.fori_loop(0, B, e_body, 0)
-    sc = P3[:, 0, :]
-    for j in range(1, W):
-        sc = sc + pltpu.roll(P3[:, j, :], (SLp - j) % SLp, axis=1)
-    sc_ref[0] = sc
+        jax.lax.fori_loop(0, B, e_body, 0, unroll=HI_UNROLL)
+    for m in range(M):
+        sc = P3[:, m * Wp, :]
+        for j in range(1, W):
+            sc = sc + pltpu.roll(P3[:, m * Wp + j, :], (SLp - j) % SLp, axis=1)
+        sc_ref[0, pl.ds(m * B, B), :] = sc
 
 
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "interpret"))
+def window_scores_multi(
+    s_flat: jnp.ndarray,
+    cidx: jnp.ndarray,
+    lens: jnp.ndarray,
+    *,
+    A: int,
+    K: int,
+    W: int,
+    interpret: bool = False,
+):
+    """Seed-stacked Pallas window scoring: M LUTs against one code pass.
+
+    Args:
+      s_flat: [M, R+1, W] combined log-odds LUTs.
+      cidx: [S, N, L]; lens: [N].
+
+    Returns (scores f32 [M, S, N, L-W+1] with NEG_INF on invalid windows,
+    mask bool [N, L-W+1]).  Used by the batched CGS sweep (all seeds of a
+    group share every one-hot) and anywhere several motifs scan the same
+    set (cf. ScoreSeqSet::calcLogOdds per motif in the reference driver
+    loop).
+    """
+    from bammmotif2_tpu.ops import escore
+
+    M = s_flat.shape[0]
+    S, N, L = cidx.shape
+    g = _geometry(A, K, W, S, L, M)
+    qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
+    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
+    s5t = _term_stacked_lut(s_flat, W, g)
+
+    kernel = functools.partial(
+        _scores_kernel, B=B, W=W, SLp=SLp,
+        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, M=M, stack=g["stack_terms"],
+    )
+    sc, = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QloP, NT_SCORES * g["Wt"]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, M * B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n_blocks, M * B, SLp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, M * Wp, SLp), jnp.float32)],
+        interpret=interpret,
+    )(qblk, s5t)
+
+    n_win = L - W + 1
+    # row m*B + b of block i = seed m, sequence i*B + b; first S*L lanes
+    # are strand-major [S, L]
+    rows = (
+        sc.reshape(n_blocks, M, B, SLp).transpose(1, 0, 2, 3)
+        .reshape(M, n_blocks * B, SLp)[:, :N]
+    )  # [M, N, SLp]
+    sc_sl = rows[:, :, : S * L].reshape(M, N, S, L)
+    scores = jnp.moveaxis(sc_sl, 2, 1)[:, :, :, :n_win]  # [M, S, N, n_win]
+    mask = escore.window_mask(lens, n_win, W)
+    return jnp.where(mask[None, None], scores, NEG_INF), mask
+
+
 def window_scores(
     s_flat: jnp.ndarray,
     cidx: jnp.ndarray,
@@ -693,39 +802,10 @@ def window_scores(
     Same contract as ops.escore.window_scores — returns
     (scores f32 [S, N, L-W+1] with NEG_INF on invalid windows,
     mask bool [N, L-W+1]) — but computed with the one-hot-matmul kernel:
-    ~100x the gather path's throughput on a v5e.
+    ~100x the gather path's throughput on a v5e.  window_scores_multi
+    with M=1.
     """
-    from bammmotif2_tpu.ops import escore
-
-    S, N, L = cidx.shape
-    g = _geometry(A, K, W, S, L)
-    qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
-    Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
-    s5t = _term_stacked_lut(s_flat[None], W, g)
-
-    kernel = functools.partial(
-        _scores_kernel, B=B, W=W, SLp=SLp,
-        Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, stack=g["stack_terms"],
+    scores, mask = window_scores_multi(
+        s_flat[None], cidx, lens, A=A, K=K, W=W, interpret=interpret
     )
-    sc, = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QloP, NT_SCORES * Qhi * Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, SLp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((n_blocks, B, SLp), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((B, Wp, SLp), jnp.float32)],
-        interpret=interpret,
-    )(qblk, s5t)
-
-    n_win = L - W + 1
-    # each row's first S*L lanes are strand-major [S, L]
-    rows = sc.reshape(n_blocks * B, SLp)[:N]       # [N, SLp]
-    sc_sl = rows[:, : S * L].reshape(N, S, L)      # [N, S, L]
-    scores = jnp.moveaxis(sc_sl, 1, 0)[:, :, :n_win]  # [S, N, n_win]
-    mask = escore.window_mask(lens, n_win, W)
-    return jnp.where(mask[None], scores, NEG_INF), mask
+    return scores[0], mask

@@ -270,6 +270,178 @@ def gibbs_step(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path", "mesh"
+    ),
+)
+def gibbs_step_multi(
+    v: tuple,
+    q,
+    log_alphas,
+    keys,
+    data: dict,
+    f_bg,
+    default_alphas,
+    n_real,
+    *,
+    A: int,
+    K: int,
+    W: int,
+    sample_z: bool,
+    sample_q: bool,
+    learn_alpha: bool,
+    path: str = "gather",
+    alpha_lr: float = 0.05,
+    mesh=None,
+):
+    """One batch-synchronous CGS sweep for M seeds at once.
+
+    Seed-stacked analogue of gibbs_step: scoring and counting go through
+    ONE Pallas kernel for all M seeds (window_scores_multi /
+    counts_from_r_multi — the seed LUTs/responsibility planes ride the
+    matmul output rows, every seed shares each one-hot; cf.
+    pallas_em.em_counts_multi), while the per-seed sampling and model
+    math vmap over the seed axis in plain XLA.  Key handling per seed is
+    IDENTICAL to gibbs_step's (split → fold_in(n) → categorical →
+    split → beta), so member m of a batched run reproduces
+    run_gibbs(..., key=keys[m]) exactly.
+
+    Args mirror gibbs_step with a leading seed axis on v/q/log_alphas/
+    keys/default_alphas.  Returns (v, q, log_alphas, keys, ll [M],
+    n_occ [M], counts tuple of [M, A^(k+1), W]).
+    """
+    cidx, lens, bg_flat = data["cidx"], data["lens"], data["bg_flat"]
+    R = encode.num_rows(A, K)
+    M = q.shape[0]
+    s_flat = jax.vmap(lambda vm: motif_mod.log_odds_lut(vm, bg_flat))(v)
+
+    # ---- stage 1: window scores, all seeds in one kernel ---------------
+    if path.startswith("pallas_shard"):
+        from jax.sharding import PartitionSpec as P
+
+        from bammmotif2_tpu.ops import pallas_em
+
+        interp = path.endswith("interpret")
+
+        def score_shard(cidx_s, lens_s, s_flat_r):
+            return pallas_em.window_scores_multi(
+                s_flat_r, cidx_s, lens_s, A=A, K=K, W=W, interpret=interp
+            )
+
+        scores, mask = jax.shard_map(
+            score_shard,
+            mesh=mesh,
+            in_specs=(P(None, "data", None), P("data"), P()),
+            out_specs=(P(None, None, "data", None), P("data")),
+            check_vma=False,
+        )(cidx, lens, s_flat)
+    elif path.startswith("pallas"):
+        from bammmotif2_tpu.ops import pallas_em
+
+        scores, mask = pallas_em.window_scores_multi(
+            s_flat, cidx, lens,
+            A=A, K=K, W=W, interpret=path == "pallas_interpret",
+        )
+    else:
+        scores, mask = jax.vmap(
+            lambda sf: escore.window_scores(sf, cidx, lens, W)
+        )(s_flat)
+        mask = mask[0]
+    _Mm, S, N, n_win = scores.shape
+
+    # ---- stage 2: per-seed z/q sampling (vmapped pure XLA) -------------
+    n_win_per_seq = S * mask.sum(axis=1)
+    has_win = n_win_per_seq > 0
+
+    def sample_one(scores_m, q_m, key_m):
+        log_prior = jnp.where(
+            has_win,
+            jnp.log(q_m) - jnp.log(jnp.maximum(n_win_per_seq, 1)),
+            escore.NEG_INF,
+        )
+        log_w = scores_m + log_prior[None, :, None]
+        flat = jnp.concatenate(
+            [jnp.full((N, 1), jnp.log1p(-q_m)),
+             jnp.moveaxis(log_w, 1, 0).reshape(N, -1)],
+            axis=1,
+        )
+        key_m, sub = jax.random.split(key_m)
+        if sample_z:
+            row_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                sub, jnp.arange(N)
+            )
+            z = jax.vmap(jax.random.categorical)(row_keys, flat)
+        else:
+            z = jnp.argmax(flat, axis=-1)
+        occupied = z > 0
+        zi = z - 1
+        cols = jnp.arange(S * n_win, dtype=zi.dtype)[None, :]
+        r = ((cols == zi[:, None]) & occupied[:, None]).astype(jnp.float32)
+        r = jnp.moveaxis(r.reshape(N, S, n_win), 1, 0)
+        n_occ = occupied.sum()
+        key_m, sub_q = jax.random.split(key_m)
+        if sample_q:
+            q_new = jax.random.beta(sub_q, n_occ + 1.0, n_real - n_occ + 1.0)
+            q_new = jnp.clip(q_new, 1e-4, 1 - 1e-4)
+        else:
+            q_new = q_m
+        _, _, ll = escore.zoops_posterior(scores_m, mask, q_m)
+        ll = ll - (N - n_real) * jnp.log1p(-q_m)
+        return r, n_occ, q_new, key_m, ll
+
+    r, n_occ, q_new, keys, ll = jax.vmap(sample_one)(scores, q, keys)
+
+    # ---- stage 3: counts, all seeds in one kernel ----------------------
+    L = cidx.shape[2]
+    if path.startswith("pallas_shard"):
+        from jax.sharding import PartitionSpec as P
+
+        from bammmotif2_tpu.ops import pallas_em
+
+        r_msnl = jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, L - n_win)))
+
+        def count_shard(r_s, cidx_s):
+            C = pallas_em.counts_from_r_multi(
+                r_s, cidx_s, A=A, K=K, W=W, R=R, interpret=interp
+            )
+            return jax.lax.psum(C, "data")
+
+        C = jax.shard_map(
+            count_shard,
+            mesh=mesh,
+            in_specs=(P(None, None, "data", None), P(None, "data", None)),
+            out_specs=P(),
+            check_vma=False,
+        )(r_msnl, cidx)
+    elif path.startswith("pallas"):
+        from bammmotif2_tpu.ops import pallas_em
+
+        r_msnl = jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, L - n_win)))
+        C = pallas_em.counts_from_r_multi(
+            r_msnl, cidx, A=A, K=K, W=W, R=R,
+            interpret=path == "pallas_interpret",
+        )
+    else:
+        C = jax.vmap(lambda rm: escore.mstep_counts(rm, cidx, R, W))(r)
+    counts = jax.vmap(
+        lambda Cm: motif_mod.counts_from_combined(Cm[:R], A, K)
+    )(C)
+
+    # ---- stage 4: per-seed alpha/v updates (vmapped) -------------------
+    def update_one(counts_m, la_m, da_m):
+        if learn_alpha:
+            grad = jax.grad(_log_alpha_posterior)(la_m, counts_m, f_bg, da_m)
+            la_m = la_m + alpha_lr * jnp.clip(grad, -10.0, 10.0)
+            la_m = jnp.clip(la_m, jnp.log(1e-2), jnp.log(1e4))
+        v_m = motif_mod.update_v(counts_m, jnp.exp(la_m), f_bg)
+        return la_m, v_m
+
+    log_alphas, v_new = jax.vmap(update_one)(counts, log_alphas, default_alphas)
+    return v_new, q_new, log_alphas, keys, ll, n_occ, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "A", "K", "W", "sample_z", "sample_q", "learn_alpha", "path",
         "n_iters", "burn_in", "mesh",
     ),
@@ -414,8 +586,11 @@ def _batched_gibbs_loop(
     learn_alpha: bool, path: str, n_iters: int, burn_in: int, mesh=None,
 ):
     """Batched CGS over the seed axis: all M seeds of a (W, K) group sweep
-    inside ONE lax.scan program (statically unrolled per seed — NOT vmap,
-    the Pallas batching rule costs ~15x; cf. refinement.multi).
+    inside ONE lax.scan program via gibbs_step_multi — scoring and
+    counting are seed-stacked single Pallas kernels (the LUTs ride the
+    matmul output rows, one shared one-hot per sequence row); sampling
+    and model math vmap over seeds.  Compiles once per (W, K) group
+    regardless of M (the round-3 per-seed unroll compiled M copies).
 
     lru_cached by static configuration so repeat calls reuse the compiled
     closure.  Sequences may shard over a mesh 'data' axis; the seed axis
@@ -431,28 +606,13 @@ def _batched_gibbs_loop(
 
         def body(carry, i):
             v, q, la, keys, acc = carry
-            outs = [
-                gibbs_step(
-                    tuple(vk[m] for vk in v), q[m], la[m], keys[m], data,
-                    f_bg, da[m], n_real,
-                    A=A, K=K, W=W, sample_z=sample_z, sample_q=sample_q,
-                    learn_alpha=learn_alpha, path=path, mesh=mesh,
-                )
-                for m in range(M)
-            ]
-            v2 = tuple(
-                jnp.stack([o[0][k] for o in outs]) for k in range(K + 1)
+            v2, q2, la2, keys2, lls, noccs, counts = gibbs_step_multi(
+                v, q, la, keys, data, f_bg, da, n_real,
+                A=A, K=K, W=W, sample_z=sample_z, sample_q=sample_q,
+                learn_alpha=learn_alpha, path=path, mesh=mesh,
             )
-            q2 = jnp.stack([o[1] for o in outs])
-            la2 = jnp.stack([o[2] for o in outs])
-            keys2 = jnp.stack([o[3] for o in outs])
-            lls = jnp.stack([o[4] for o in outs])
-            noccs = jnp.stack([o[5] for o in outs])
             take = (i >= burn_in).astype(jnp.float32)
-            acc = tuple(
-                a + take * jnp.stack([o[6][k] for o in outs])
-                for k, a in enumerate(acc)
-            )
+            acc = tuple(a + take * c for a, c in zip(acc, counts))
             return (v2, q2, la2, keys2, acc), (lls, noccs)
 
         (v, q, la, keys, acc), (lls, noccs) = jax.lax.scan(

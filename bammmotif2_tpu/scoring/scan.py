@@ -103,15 +103,22 @@ class ScanResult:
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
 
-def _chunk_scorer(motif: Motif, bg: BackgroundModel, ss: bool):
-    """Returns a function (SequenceSet subset) -> (scores_dev, mask_dev)."""
+def _chunk_scorer_multi(motifs: list, bg: BackgroundModel, ss: bool):
+    """Returns (SequenceSet subset) -> (scores_dev [M, S, n, n_win], mask).
+
+    All motifs must share (W, K, A).  On TPU the M LUTs go through ONE
+    seed-stacked Pallas kernel per chunk (pallas_em.window_scores_multi —
+    every motif shares each one-hot), the stacked form of the reference
+    driver's per-motif ScoreSeqSet::calcLogOdds loop."""
     import jax
 
-    K, W, A = motif.K, motif.W, motif.A
-    s_flat = log_odds_lut(
-        tuple(jnp.asarray(v, jnp.float32) for v in motif.v),
-        jnp.asarray(bg.conditional_flat(K), jnp.float32),
-    )
+    K, W, A = motifs[0].K, motifs[0].W, motifs[0].A
+    assert all((m.K, m.W, m.A) == (K, W, A) for m in motifs)
+    bg_flat = jnp.asarray(bg.conditional_flat(K), jnp.float32)
+    s_flat = jnp.stack([
+        log_odds_lut(tuple(jnp.asarray(v, jnp.float32) for v in m.v), bg_flat)
+        for m in motifs
+    ])
     use_pallas = False
     if jax.default_backend() == "tpu":
         from bammmotif2_tpu.ops import pallas_em
@@ -123,12 +130,91 @@ def _chunk_scorer(motif: Motif, bg: BackgroundModel, ss: bool):
         if use_pallas:
             from bammmotif2_tpu.ops import pallas_em
 
-            return pallas_em.window_scores(
+            return pallas_em.window_scores_multi(
                 s_flat, cidx, lens, A=A, K=K, W=W
             )
-        return escore.window_scores(s_flat, cidx, lens, W)
+        scores, masks = jax.vmap(
+            lambda sf: escore.window_scores(sf, cidx, lens, W)
+        )(s_flat)
+        return scores, masks[0]
 
     return score
+
+
+def _chunk_scorer(motif: Motif, bg: BackgroundModel, ss: bool):
+    """Returns a function (SequenceSet subset) -> (scores_dev, mask_dev)."""
+    multi = _chunk_scorer_multi([motif], bg, ss)
+
+    def score(sub: SequenceSet):
+        scores, mask = multi(sub)
+        return scores[0], mask
+
+    return score
+
+
+def score_set_multi(
+    motifs: list,
+    bg: BackgroundModel,
+    sset: SequenceSet,
+    ss: bool = False,
+    batch: int = 16384,
+    keep_bytes: int = KEEP_BYTES,
+) -> list:
+    """score_set for several motifs of equal (W, K) in ONE stacked pass.
+
+    The M motifs' LUTs ride the scoring matmul's output rows, every motif
+    sharing each chunk's one-hot (pallas_em.window_scores_multi) — the
+    seed-stacked form of the reference driver's per-motif
+    ``ScoreSeqSet::calcLogOdds`` loop.  Returns a list of ScanResult
+    aligned with ``motifs``.
+
+    Streaming caveat: when the retained-chunk budget is exceeded, each
+    result's ``iter_chunks`` re-scores ALL M motifs per chunk — iterate
+    motifs in the outer loop only for retained (small) sets, or chunk by
+    chunk for genome-scale ones.
+    """
+    M = len(motifs)
+    score = _chunk_scorer_multi(motifs, bg, ss)
+    S = 1 if ss else 2
+    W = motifs[0].W
+    n_win_est = max(int(sset.lens.max(initial=0)) - W + 1, 1)
+    retain = 4 * M * S * sset.n * n_win_est <= keep_bytes
+
+    def chunk_iter():
+        for start in range(0, sset.n, batch):
+            sub = sset.subset(np.arange(start, min(start + batch, sset.n)))
+            sc, m = score(sub)  # sc [M, S, n, n_win]
+            yield start, sc, m
+
+    max_scores = np.empty((M, sset.n), np.float32)
+    n_valid = 0
+    chunks: list | None = [[] for _ in range(M)] if retain else None
+    for row0, sc, m in chunk_iter():
+        n = sc.shape[2]
+        # per-chunk on-device reductions; only [M, n] floats + 1 int cross
+        max_scores[:, row0 : row0 + n] = np.asarray(jnp.max(sc, axis=(1, 3)))
+        n_valid += int(m.sum()) * sc.shape[1]
+        if retain:
+            for i in range(M):
+                chunks[i].append((row0, sc[i], m))
+
+    def make_rescan(i):
+        def rescan():
+            for row0, sc, m in chunk_iter():
+                yield row0, sc[i], m
+
+        return rescan
+
+    return [
+        ScanResult(
+            max_scores=max_scores[i],
+            n_windows=n_valid,
+            W=W,
+            _chunks=chunks[i] if retain else None,
+            _rescan=make_rescan(i) if not retain else None,
+        )
+        for i in range(M)
+    ]
 
 
 def score_set(
@@ -147,34 +233,9 @@ def score_set(
     genome-scale sets (BASELINE config 5: 100k+ sequences) stream through
     HBM and downstream consumers re-score chunks via ``iter_chunks``.
     """
-    score = _chunk_scorer(motif, bg, ss)
-    S = 1 if ss else 2
-    n_win_est = max(int(sset.lens.max(initial=0)) - motif.W + 1, 1)
-    retain = 4 * S * sset.n * n_win_est <= keep_bytes
-
-    def chunk_iter():
-        for start in range(0, sset.n, batch):
-            sub = sset.subset(np.arange(start, min(start + batch, sset.n)))
-            sc, m = score(sub)
-            yield start, sc, m
-
-    max_scores = np.empty(sset.n, np.float32)
-    n_valid = 0
-    chunks: list | None = [] if retain else None
-    for row0, sc, m in chunk_iter():
-        n = sc.shape[1]
-        # per-chunk on-device reductions; only [n] floats + 1 int cross
-        max_scores[row0 : row0 + n] = np.asarray(jnp.max(sc, axis=(0, 2)))
-        n_valid += int(m.sum()) * sc.shape[0]
-        if retain:
-            chunks.append((row0, sc, m))
-    return ScanResult(
-        max_scores=max_scores,
-        n_windows=n_valid,
-        W=motif.W,
-        _chunks=chunks,
-        _rescan=chunk_iter if not retain else None,
-    )
+    return score_set_multi(
+        [motif], bg, sset, ss=ss, batch=batch, keep_bytes=keep_bytes
+    )[0]
 
 
 def empirical_pvalues(scores: np.ndarray, neg_scores: np.ndarray) -> np.ndarray:

@@ -189,3 +189,82 @@ class TestGibbsScaleOut:
         results = run_gibbs_multi(seeds, bg, sset, p)
         assert all(r is not None and np.isfinite(r.ll) for r in results)
         assert seeds[1].W == len(MOTIF) + 2
+
+
+class TestCGSValidation:
+    """CGS quality vs EM (SURVEY.md 2 Gibbs row: 'the distinctive Bayesian
+    part') — held-out likelihood parity and the papers' qualitative alpha
+    behavior (large pseudo-counts at uninformative positions)."""
+
+    @staticmethod
+    def _heldout_ll(motif, bg, sset, q=0.5):
+        import jax.numpy as jnp
+
+        from bammmotif2_tpu.models.motif import log_odds_lut
+        from bammmotif2_tpu.ops import escore
+        from bammmotif2_tpu.refinement.em import prepare_data
+
+        data = prepare_data(sset, bg, motif.K, ss=False)
+        lut = log_odds_lut(
+            tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v),
+            data["bg_flat"],
+        )
+        sc, mask = escore.window_scores(lut, data["cidx"], data["lens"], motif.W)
+        _r, _r0, ll = escore.zoops_posterior(sc, mask, jnp.float32(q))
+        return float(ll)
+
+    def test_cgs_matches_em_on_heldout_likelihood(self):
+        """CGS-refined and EM-refined models score held-out data about
+        equally, and both clearly beat the unrefined seed."""
+        from bammmotif2_tpu.refinement.em import run_em
+
+        train = planted_set(n=300, l=80, motif=MOTIF, q=0.8, noise=0.1, seed=11)
+        held = planted_set(n=150, l=80, motif=MOTIF, q=0.8, noise=0.1, seed=12)
+        bg = BackgroundModel.from_sequence_set(train, order=2)
+
+        m_seed = seed_motif(train, soft=0.55)
+        ll_seed = self._heldout_ll(m_seed, bg, held)
+
+        m_em = seed_motif(train, soft=0.55)
+        run_em(m_em, bg, train, Params(EM=True, q=0.5, use_pallas=False))
+        ll_em = self._heldout_ll(m_em, bg, held)
+
+        m_cgs = seed_motif(train, soft=0.55)
+        run_gibbs(
+            m_cgs, bg, train,
+            Params(CGS=True, q=0.5, maxCGSIterations=60, cgsBurnIn=30, seed=4),
+        )
+        ll_cgs = self._heldout_ll(m_cgs, bg, held)
+
+        assert ll_em > ll_seed and ll_cgs > ll_seed
+        # CGS is a sampler, not an optimizer: allow a modest held-out gap
+        # to the EM optimum, but it must capture most of the improvement
+        assert ll_cgs - ll_seed > 0.7 * (ll_em - ll_seed), (
+            ll_seed, ll_em, ll_cgs,
+        )
+
+    def test_alpha_larger_at_uninformative_flanks(self):
+        """Learned pseudo-count strengths alpha_k(j) grow where the data
+        is background-like (flank columns of a wide seed) and shrink at
+        informative core columns — the qualitative behavior that motivates
+        per-position alpha learning in the BaMM papers."""
+        import numpy as np
+
+        sset = planted_set(n=400, l=80, motif=MOTIF, q=0.85, noise=0.05, seed=13)
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+        # W=12 seed: 2 uninformative N columns flanking the 8-col core
+        wide = "NN" + MOTIF + "NN"
+        m = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(wide, soft=0.6), K=2,
+            f_bg=sset.base_frequencies(),
+        )
+        run_gibbs(
+            m, bg, sset,
+            Params(CGS=True, q=0.5, maxCGSIterations=80, seed=5),
+        )
+        flanks = [0, 1, len(wide) - 2, len(wide) - 1]
+        core = list(range(2, len(wide) - 2))
+        for k in (1, 2):
+            a_flank = float(np.mean(m.alphas[k][flanks]))
+            a_core = float(np.mean(m.alphas[k][core]))
+            assert a_flank > a_core, (k, a_flank, a_core, m.alphas[k])

@@ -379,3 +379,51 @@ class TestSeedStackedKernel:
         pallas_em.em_counts_multi._clear_cache()  # drop the patched trace
         np.testing.assert_allclose(np.asarray(C_a), np.asarray(C_b), atol=2e-5)
         np.testing.assert_allclose(np.asarray(ll_a), np.asarray(ll_b), rtol=1e-5)
+
+    @pytest.mark.parametrize("K,W,M", [(0, 8, 3), (2, 8, 3), (3, 6, 2)])
+    def test_window_scores_multi_matches_per_seed(self, K, W, M):
+        from bammmotif2_tpu.ops import escore, pallas_em
+
+        v, data, motif = _setup(K, W)
+        luts = self._luts(v, data, M)
+        sc_m, mask_m = pallas_em.window_scores_multi(
+            luts, data["cidx"], data["lens"], A=4, K=K, W=W, interpret=True
+        )
+        for m in range(M):
+            sc_g, mask_g = escore.window_scores(
+                luts[m], data["cidx"], data["lens"], W
+            )
+            np.testing.assert_array_equal(np.asarray(mask_m), np.asarray(mask_g))
+            np.testing.assert_allclose(
+                np.asarray(sc_m[m]), np.asarray(sc_g), atol=1e-5
+            )
+
+    @pytest.mark.parametrize("K,W,M", [(0, 8, 3), (2, 8, 3), (4, 6, 2)])
+    def test_counts_from_r_multi_matches_per_seed(self, K, W, M):
+        from bammmotif2_tpu.ops import escore, pallas_em
+
+        v, data, motif = _setup(K, W)
+        cidx, lens = data["cidx"], data["lens"]
+        S, N, L = cidx.shape
+        n_win = L - W + 1
+        R = encode.num_rows(4, K)
+        rng = np.random.default_rng(2)
+        mask = np.asarray(escore.window_mask(lens, n_win, W))
+        r = np.zeros((M, S, N, n_win), np.float32)
+        for m in range(M):
+            for n in range(N):
+                valid = np.nonzero(mask[n])[0]
+                if len(valid) and rng.random() < 0.8:
+                    r[m, rng.integers(0, S), n, rng.choice(valid)] = 1.0
+        r_msnl = jnp.pad(
+            jnp.asarray(r), ((0, 0), (0, 0), (0, 0), (0, L - n_win))
+        )
+        C_m = pallas_em.counts_from_r_multi(
+            r_msnl, cidx, A=4, K=K, W=W, R=R, interpret=True
+        )
+        assert C_m.shape == (M, R + 1, W)
+        for m in range(M):
+            C_ref = escore.mstep_counts(jnp.asarray(r[m]), cidx, R, W)
+            np.testing.assert_allclose(
+                np.asarray(C_m[m]), np.asarray(C_ref), atol=1e-5
+            )

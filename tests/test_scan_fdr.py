@@ -336,3 +336,27 @@ class TestMaskMotif:
         after = hits(masked)
         assert before > 100
         assert after < before * 0.1
+
+
+class TestScoreSetMulti:
+    def test_matches_per_motif_score_set(self, trained):
+        """score_set_multi == per-motif score_set (stacked scanner parity),
+        in both retained and streaming modes."""
+        sset, bg, m1 = trained
+        m2 = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(MOTIF, soft=0.8), K=2,
+            f_bg=sset.base_frequencies(),
+        )
+        for kb in (scan.KEEP_BYTES, 0):
+            multi = scan.score_set_multi([m1, m2], bg, sset, keep_bytes=kb)
+            for m, res_m in zip((m1, m2), multi):
+                solo = scan.score_set(m, bg, sset)
+                np.testing.assert_allclose(
+                    res_m.max_scores, solo.max_scores, rtol=1e-5
+                )
+                assert res_m.n_windows == solo.n_windows
+                np.testing.assert_allclose(
+                    np.sort(res_m.all_window_scores()),
+                    np.sort(solo.all_window_scores()),
+                    rtol=1e-5,
+                )

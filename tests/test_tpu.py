@@ -185,3 +185,43 @@ class TestBenchSmoke:
 
         wps, ips = bench.time_em("pallas")
         assert wps > 0.9e9, f"order-2 EM at {wps/1e9:.2f} B w/s (< 0.9 floor)"
+
+
+class TestCGSOnChip:
+    def test_cgs_compiled_recovers_motif(self):
+        """Compiled seed-stacked CGS path (window_scores_multi +
+        counts_from_r_multi inside the scan) on real hardware: the sampler
+        must still recover the planted consensus.  (Sampling is not
+        bit-comparable across backends — tiny f32 score differences flip
+        draws — so this is a behavioral, not numerical, assertion.)"""
+        _require_tpu()
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_em import planted_set
+
+        from bammmotif2_tpu.models import seeds as seeds_mod
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.refinement.gibbs import run_gibbs_multi
+        from bammmotif2_tpu.utils.config import Params
+
+        motif_str = "TGACTCAG"
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            sset = planted_set(n=200, l=80, motif=motif_str, q=0.85, noise=0.05)
+            bg = BackgroundModel.from_sequence_set(sset, order=2)
+            seeds = [
+                seeds_mod.motif_from_pwm(
+                    seeds_mod.iupac_to_pwm(motif_str, soft=s), K=2,
+                    f_bg=sset.base_frequencies(),
+                )
+                for s in (0.55, 0.7)
+            ]
+        results = run_gibbs_multi(
+            seeds, bg, sset, Params(CGS=True, q=0.5, maxCGSIterations=20, seed=3)
+        )
+        assert len(results) == 2
+        for m in seeds:
+            consensus = "".join("ACGT"[i] for i in m.v[0].argmax(axis=0))
+            assert consensus == motif_str, consensus
+            assert np.all(m.alphas > 0)

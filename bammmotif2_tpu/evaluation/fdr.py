@@ -63,10 +63,28 @@ class FDRResult:
         return paths
 
 
-def _write_stats(path: str, sweep: dict) -> None:
+MAX_STATS_ROWS = 20_000  # written rows per .stats file (sweep stays full)
+
+
+def _write_stats(path: str, sweep: dict, max_rows: int = MAX_STATS_ROWS) -> None:
+    """One TSV row per sweep point, uniformly thinned past ``max_rows``.
+
+    The in-memory sweep keeps every pooled score (AvRec and p-values use
+    the full resolution); only the WRITTEN file is thinned.  Documented
+    deviation: the reference writes one row per pooled score, which at
+    MOPS/window scale (23M rows for 10k x 200 bp x mFold 10) produces
+    gigabyte files and dominated end-to-end wall-clock; endpoints are
+    always kept so the written curve spans the full range.
+    """
+    n = len(sweep["score"])
+    idx = (
+        np.unique(np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64))
+        if n > max_rows
+        else range(n)
+    )
     with open(path, "w") as fh:
         fh.write("score\tTP\tFP\tprecision\trecall\tp-value\n")
-        for i in range(len(sweep["score"])):
+        for i in idx:
             fh.write(
                 f"{sweep['score'][i]:.6g}\t{sweep['tp'][i]:.3f}\t{sweep['fp'][i]:.3f}\t"
                 f"{sweep['precision'][i]:.6f}\t{sweep['recall'][i]:.6f}\t"

@@ -177,6 +177,56 @@ class TestGibbsScaleOut:
         assert float(g[4]) == pytest.approx(float(p[4]), rel=1e-5)  # ll
         assert int(g[5]) == int(p[5])  # n_occ
 
+    def test_multi_pallas_shard_step_matches_single_gather(self):
+        # seed-stacked sharded sweep (window_scores_multi +
+        # counts_from_r_multi under shard_map, interpret mode) vs the
+        # single-seed gather gibbs_step, member by member
+        import jax.numpy as jnp
+
+        from bammmotif2_tpu.ops import encode
+        from bammmotif2_tpu.parallel import mesh as mesh_mod
+        from bammmotif2_tpu.refinement.em import prepare_data
+        from bammmotif2_tpu.refinement.gibbs import gibbs_step, gibbs_step_multi
+
+        sset = planted_set(n=32, l=40, motif=MOTIF, q=0.8, noise=0.05, seed=2)
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+        seeds = [seed_motif(sset, soft=0.55), seed_motif(sset, soft=0.75)]
+        data = prepare_data(sset, bg, 2, False)
+        mesh = mesh_mod.make_mesh(n_data=4, n_seed=1, devices=jax.devices()[:4])
+        sdata = mesh_mod.shard_em_data(mesh, data, encode.num_rows(4, 2))
+        keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+        kw = dict(A=4, K=2, W=seeds[0].W, sample_z=True, sample_q=True,
+                  learn_alpha=True)
+
+        vb = tuple(
+            jnp.stack([jnp.asarray(m.v[k], jnp.float32) for m in seeds])
+            for k in range(3)
+        )
+        mult = gibbs_step_multi(
+            vb, jnp.full((2,), 0.5, jnp.float32),
+            jnp.log(jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in seeds])),
+            keys, sdata,
+            jnp.asarray(seeds[0].f_bg, jnp.float32),
+            jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in seeds]),
+            jnp.float32(sset.n),
+            path="pallas_shard_interpret", mesh=mesh, **kw,
+        )
+        for i, m in enumerate(seeds):
+            g = gibbs_step(
+                tuple(jnp.asarray(vk, jnp.float32) for vk in m.v),
+                jnp.float32(0.5),
+                jnp.log(jnp.asarray(m.alphas, jnp.float32)),
+                keys[i], data,
+                jnp.asarray(m.f_bg, jnp.float32),
+                jnp.asarray(m.alphas, jnp.float32),
+                jnp.float32(sset.n),
+                path="gather", mesh=None, **kw,
+            )
+            for a, b in zip(g[0], (vk[i] for vk in mult[0])):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+            assert float(g[4]) == pytest.approx(float(mult[4][i]), rel=1e-5)
+            assert int(g[5]) == int(mult[5][i])
+
     def test_multi_seed_grouped_widths(self, planted):
         # seeds of different widths fall into separate (W, K) groups
         sset, bg = planted

@@ -113,14 +113,40 @@ def _fold_scores(v: tuple, data: dict, lens, *, A: int, K: int, W: int, path: st
     return jnp.max(scores, axis=(0, 2)), scores, mask
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _select_rows(scores, mask, rows, n_rows: int):
+    """Device-side row gather before the host fetch.
+
+    ``rows``: [n_rows] int32 selected sequence indices, -1 padding.  The
+    scorer's static shapes cover ALL N rows with the unselected ones
+    length-masked; fetching the full [S, N, n_win] tensor moves ~cvFold x
+    the needed bytes per fold (151 MB/fold at 100k seqs), so the held-out
+    rows are gathered on device first.
+    """
+    valid_row = rows >= 0
+    safe = jnp.maximum(rows, 0)
+    return scores[:, safe, :], mask[safe] & valid_row[:, None]
+
+
 def _collect_scores(v: tuple, data: dict, lens_np: np.ndarray, row_sel: np.ndarray,
                     *, A: int, K: int, W: int, path: str):
     """ZOOPS maxima + pooled MOPS window scores for the selected rows."""
     lens_dev = jnp.asarray(np.where(row_sel, lens_np, 0).astype(lens_np.dtype))
     max_s, scores, mask = _fold_scores(v, data, lens_dev, A=A, K=K, W=W, path=path)
     max_h = np.asarray(max_s)[row_sel]
-    scores_h = np.asarray(scores)
-    mask_h = np.broadcast_to(np.asarray(mask)[None], scores_h.shape)
+    n_sel = int(row_sel.sum())
+    if n_sel * 2 <= row_sel.size:
+        # sparse selection (a held-out CV fold): gather the fold's rows on
+        # device, fetch only those.  Fold sizes differ by <= 1, so at most
+        # two compiled shapes per run.
+        rows = np.full(n_sel, -1, np.int64)
+        rows[:n_sel] = np.nonzero(row_sel)[0]
+        sc, mk = _select_rows(scores, mask, jnp.asarray(rows), n_sel)
+        scores_h = np.asarray(sc)
+        mask_h = np.broadcast_to(np.asarray(mk)[None], scores_h.shape)
+    else:
+        scores_h = np.asarray(scores)
+        mask_h = np.broadcast_to(np.asarray(mask)[None], scores_h.shape)
     return max_h, scores_h[mask_h]
 
 

@@ -130,24 +130,32 @@ def _select_rows(scores, mask, rows, n_rows: int):
 
 def _collect_scores(v: tuple, data: dict, lens_np: np.ndarray, row_sel: np.ndarray,
                     *, A: int, K: int, W: int, path: str):
-    """ZOOPS maxima + pooled MOPS window scores for the selected rows."""
+    """ZOOPS maxima (host) + the fold's MOPS scores as a DEVICE array.
+
+    Returns (max_per_seq [n_sel] host, mops_flat device f32 with -inf on
+    invalid/pad windows, n_true valid-window count).  The MOPS pool stays
+    ON DEVICE — it feeds prcurve.threshold_sweep_device, so the
+    tens-of-millions-of-windows pool never crosses to the host (fetching
+    it cost gigabytes per motif at 10k-seq mFold-10 scale).  Sparse
+    selections (held-out CV folds) additionally gather their rows on
+    device so the retained array is fold-sized, not set-sized.
+    """
     lens_dev = jnp.asarray(np.where(row_sel, lens_np, 0).astype(lens_np.dtype))
     max_s, scores, mask = _fold_scores(v, data, lens_dev, A=A, K=K, W=W, path=path)
     max_h = np.asarray(max_s)[row_sel]
     n_sel = int(row_sel.sum())
     if n_sel * 2 <= row_sel.size:
-        # sparse selection (a held-out CV fold): gather the fold's rows on
-        # device, fetch only those.  Fold sizes differ by <= 1, so at most
-        # two compiled shapes per run.
-        rows = np.full(n_sel, -1, np.int64)
-        rows[:n_sel] = np.nonzero(row_sel)[0]
+        # fold sizes differ by <= 1, so at most two compiled shapes per run
+        rows = np.nonzero(row_sel)[0].astype(np.int64)
         sc, mk = _select_rows(scores, mask, jnp.asarray(rows), n_sel)
-        scores_h = np.asarray(sc)
-        mask_h = np.broadcast_to(np.asarray(mk)[None], scores_h.shape)
     else:
-        scores_h = np.asarray(scores)
-        mask_h = np.broadcast_to(np.asarray(mask)[None], scores_h.shape)
-    return max_h, scores_h[mask_h]
+        sc, mk = scores, mask  # unselected rows are length-masked already
+    flat = jnp.where(mk[None], sc, escore.NEG_INF).ravel()
+    S = scores.shape[0]
+    n_true = int(
+        S * np.sum(np.maximum(lens_np[row_sel].astype(np.int64) - W + 1, 0))
+    )
+    return max_h, flat, n_true
 
 
 def evaluate_motif(
@@ -193,7 +201,8 @@ def evaluate_motif(
         neg_pad_len = int(lens_np.max()) if lens_np.size else 0
 
     pos_zoops, neg_zoops = [], []
-    pos_mops, neg_mops = [], []
+    pos_mops, neg_mops = [], []  # DEVICE flat arrays (-inf padded)
+    n_pos_mops = n_neg_mops = 0
     for f in range(n_folds):
         test_sel = fold_of == f
         train_sel = ~test_sel
@@ -217,20 +226,22 @@ def evaluate_motif(
                 run_gibbs(m, bg, sset, params, data=tdata, n_real=n_train)
 
         v = tuple(jnp.asarray(vk, jnp.float32) for vk in m.v)
-        pz, pm = _collect_scores(
+        pz, pm, pm_n = _collect_scores(
             v, data, lens_np, test_sel, A=A, K=K, W=W, path=path
         )
         pos_zoops.append(pz)
         pos_mops.append(pm)
+        n_pos_mops += pm_n
 
         if neg_set is not None:
             neg_sel = neg_fold_of == f
             if neg_sel.any():
-                nz, nm = _collect_scores(
+                nz, nm, nm_n = _collect_scores(
                     v, neg_data, neg_lens_np, neg_sel, A=A, K=K, W=W, path=path
                 )
                 neg_zoops.append(nz)
                 neg_mops.append(nm)
+                n_neg_mops += nm_n
         else:
             # negatives: order-sOrder model fit to TRAINING positives
             train_set = (
@@ -247,17 +258,18 @@ def evaluate_motif(
                 seed=params.seed + f, n_pad=n_neg_pad, pad_len=neg_pad_len,
             )
             sdata = prepare_data(neg_sample, bg, K, params.ss)
-            nz, nm = _collect_scores(
+            nz, nm, nm_n = _collect_scores(
                 v, sdata, np.asarray(neg_sample.lens, np.int32),
                 np.asarray(neg_sample.lens) > 0, A=A, K=K, W=W, path=path,
             )
             neg_zoops.append(nz)
             neg_mops.append(nm)
+            n_neg_mops += nm_n
 
     pz = np.concatenate(pos_zoops)
     nz = np.concatenate(neg_zoops) if neg_zoops else np.zeros(0)
-    pm = np.concatenate(pos_mops)
-    nm = np.concatenate(neg_mops) if neg_mops else np.zeros(0)
+    pm = jnp.concatenate(pos_mops)
+    nm = jnp.concatenate(neg_mops) if neg_mops else jnp.zeros(0, jnp.float32)
 
     # FP normalization: sampled negatives are an mFold-times oversample of
     # the positives; user-provided negatives count at their true ratio
@@ -267,8 +279,12 @@ def evaluate_motif(
     return FDRResult(
         zoops=prcurve.threshold_sweep(pz, nz, m_fold_eff),
         # negatives share the positives' length distribution (sampled case),
-        # so the MOPS window count is also mFold x the positive window count
-        mops=prcurve.threshold_sweep(pm, nm, m_fold_eff),
+        # so the MOPS window count is also mFold x the positive window
+        # count; the window-scale pool sorts/sweeps ON DEVICE and only a
+        # thinned table crosses to the host
+        mops=prcurve.threshold_sweep_device(
+            pm, nm, m_fold_eff, n_pos_mops, n_neg_mops
+        ),
         pos_pvalues=empirical_pvalues(pz, nz),
         m_fold=params.mFold,
     )

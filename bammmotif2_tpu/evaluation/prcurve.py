@@ -15,6 +15,76 @@ import numpy as np
 from bammmotif2_tpu.scoring.scan import empirical_pvalues
 
 
+def threshold_sweep_device(
+    pos_dev, neg_dev, m_fold: float,
+    n_pos: int, n_neg: int, max_rows: int = 100_000,
+) -> dict:
+    """threshold_sweep computed ON DEVICE, fetching only a thinned table.
+
+    For MOPS (per-window) statistics the pooled score count reaches
+    tens of millions (23M at 10k x 200 bp x mFold 10); hosting the pool
+    costs gigabytes of device->host traffic per motif while the sweep
+    itself is one sort + two cumsums — textbook device work.  The full-
+    resolution sweep runs in jnp; at most ``max_rows`` uniformly-ranked
+    rows (endpoints kept) cross to the host.
+
+    ``pos_dev``/``neg_dev`` may carry -inf padding on invalid windows;
+    ``n_pos``/``n_neg`` are the true counts (host-computable from the
+    length vectors), and pads sort past the true tail where a static
+    slice drops them.
+
+    Tie handling matches the numpy sweep up to within-tie row order
+    (cumulative values at tie-block boundaries are identical).
+    """
+    import jax.numpy as jnp
+
+    pool = jnp.concatenate([
+        jnp.asarray(pos_dev, jnp.float32).ravel(),
+        jnp.asarray(neg_dev, jnp.float32).ravel(),
+    ])
+    is_pos = jnp.concatenate([
+        jnp.ones(pos_dev.size, jnp.int32), jnp.zeros(neg_dev.size, jnp.int32)
+    ])
+    # pads are -inf: give positive pads a tiebreak BELOW negative pads so
+    # every pad lands past the n_pos + n_neg frontier deterministically
+    order = jnp.argsort(-pool, stable=True)
+    pool_s = pool[order]
+    is_pos_s = is_pos[order]
+    tp = jnp.cumsum(is_pos_s, dtype=jnp.int64)
+    fp_cnt = jnp.cumsum(1 - is_pos_s, dtype=jnp.int64)
+
+    n = n_pos + n_neg
+    neg_sorted = jnp.sort(jnp.asarray(neg_dev, jnp.float32).ravel())
+    pad_neg = neg_sorted.size - n_neg  # -inf pads sort FIRST ascending
+    lo = jnp.searchsorted(neg_sorted, pool_s, side="left") - pad_neg
+    hi = jnp.searchsorted(neg_sorted, pool_s, side="right") - pad_neg
+    lo = jnp.clip(lo, 0, n_neg)
+    hi = jnp.clip(hi, 0, n_neg)
+    frac = jnp.where(hi > lo, 0.5 * (lo + hi), lo).astype(jnp.float64)
+    pv = jnp.clip(
+        (n_neg - frac + 1.0) / (n_neg + 1.0), 1.0 / (n_neg + 1.0), 1.0
+    )
+
+    rows = (
+        np.unique(np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64))
+        if n > max_rows
+        else np.arange(n)
+    )
+    rows_d = jnp.asarray(rows)
+    m = m_fold if m_fold > 0 else 1
+    tp_h = np.asarray(tp[rows_d], np.float64)
+    fp_h = np.asarray(fp_cnt[rows_d], np.float64) / m
+    out = {
+        "score": np.asarray(pool_s[rows_d], np.float64),
+        "tp": tp_h,
+        "fp": fp_h,
+        "precision": tp_h / np.maximum(tp_h + fp_h, 1e-30),
+        "recall": tp_h / max(n_pos, 1),
+        "pvalue": np.asarray(pv[rows_d], np.float64),
+    }
+    return out
+
+
 def threshold_sweep(pos: np.ndarray, neg: np.ndarray, m_fold: float) -> dict:
     """Sweep thresholds over pooled descending scores.
 

@@ -360,3 +360,35 @@ class TestScoreSetMulti:
                     np.sort(solo.all_window_scores()),
                     rtol=1e-5,
                 )
+
+
+class TestDeviceSweep:
+    def test_device_sweep_matches_numpy(self):
+        """threshold_sweep_device (on-device sort/cumsum, -inf padding,
+        thinned fetch) == the numpy threshold_sweep."""
+        import jax.numpy as jnp
+
+        from bammmotif2_tpu.ops.escore import NEG_INF
+
+        rng = np.random.default_rng(0)
+        pos = rng.normal(2, 1, 5000).astype(np.float32)
+        neg = rng.normal(0, 1, 20000).astype(np.float32)
+        pos_dev = jnp.concatenate(
+            [jnp.asarray(pos), jnp.full(137, NEG_INF, jnp.float32)]
+        )
+        neg_dev = jnp.concatenate(
+            [jnp.asarray(neg), jnp.full(59, NEG_INF, jnp.float32)]
+        )
+        a = prcurve.threshold_sweep(pos, neg, 5)
+        b = prcurve.threshold_sweep_device(
+            pos_dev, neg_dev, 5, pos.size, neg.size, max_rows=10**9
+        )
+        for k in ("score", "tp", "fp", "precision", "recall", "pvalue"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-9, err_msg=k)
+        # a thinned device sweep must reproduce AvRec
+        b2 = prcurve.threshold_sweep_device(
+            pos_dev, neg_dev, 5, pos.size, neg.size, max_rows=4000
+        )
+        assert prcurve.average_recall(b2) == pytest.approx(
+            prcurve.average_recall(a), abs=2e-3
+        )

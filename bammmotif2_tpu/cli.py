@@ -281,9 +281,10 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
             # PER-WINDOW score distribution (ScoreSeqSet::calcPvalues ranks
             # calcLogOdds window scores, SURVEY.md 3.3) — NOT the ZOOPS
             # per-sequence maxima, which are a different distribution
-            # family (pinned by tests/test_scan_fdr.py)
+            # family (pinned by tests/test_scan_fdr.py).  Passing the
+            # ScanResult keeps the pool on device (window_pool_device).
             occs = scan.find_occurrences(
-                res, pos_set, neg_res.all_window_scores(), params.pvalCutoff
+                res, pos_set, neg_res, params.pvalCutoff
             )
             path = os.path.join(
                 params.outputDirectory, f"{basename}_{m.name}.occurrence"

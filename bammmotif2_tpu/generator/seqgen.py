@@ -154,10 +154,9 @@ def mask_motif(
     neg = generate_neg_set(bg, sset.lens, m_fold=m_fold, seed=seed)
     neg_res = scan_mod.score_set(motif, bg, neg, ss=ss)
     # per-window p-values against the negatives' per-window distribution
-    # (same convention as the CLI scan path — ScoreSeqSet::calcPvalues)
-    occs = scan_mod.find_occurrences(
-        res, sset, neg_res.all_window_scores(), pval_cutoff
-    )
+    # (same convention as the CLI scan path — ScoreSeqSet::calcPvalues);
+    # the pool stays on device (ScanResult input)
+    occs = scan_mod.find_occurrences(res, sset, neg_res, pval_cutoff)
 
     rng = np.random.default_rng(seed)
     f0 = np.asarray(bg.v[0], np.float64)

@@ -102,6 +102,29 @@ class ScanResult:
             out.append(sc_h[m_h])
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
+    def window_pool_device(self):
+        """Per-window score pool as a DEVICE array, never fetched.
+
+        Returns (ascending-sorted f32 device array whose first
+        ``size - n_windows`` entries are NEG_INF padding, n_windows).
+        find_occurrences consumes this directly for p-value ranking, so a
+        genome-scale negative pool (hundreds of MB at 100k seqs × mFold)
+        stays on the chip instead of round-tripping through the host the
+        way ``all_window_scores()`` does.
+        """
+        parts = [
+            jnp.where(
+                jnp.broadcast_to(m[None], jnp.shape(sc)), sc, escore.NEG_INF
+            ).ravel()
+            for _row0, sc, m in self.iter_chunks()
+        ]
+        pool = jnp.sort(
+            jnp.concatenate(parts)
+            if parts
+            else jnp.zeros(0, jnp.float32)
+        )
+        return pool, self.n_windows
+
 
 def _chunk_scorer_multi(motifs: list, bg: BackgroundModel, ss: bool):
     """Returns (SequenceSet subset) -> (scores_dev [M, S, n, n_win], mask).
@@ -281,10 +304,13 @@ def find_occurrences(
 ) -> list:
     """Windows with p-value below the cutoff, as occurrence records.
 
-    ``neg_scores`` must be the negatives' PER-WINDOW score pool
-    (``ScanResult.all_window_scores()``): the reference ranks scan scores
-    against the sorted per-window negative distribution from
-    ``calcLogOdds`` (``ScoreSeqSet::calcPvalues``, SURVEY.md 3.3) —
+    ``neg_scores`` must be the negatives' PER-WINDOW score pool: either a
+    host array (``ScanResult.all_window_scores()``) or, preferably, the
+    negatives' ScanResult itself — then the pool sorts and ranks entirely
+    ON DEVICE (``window_pool_device``; at genome scale the pool is
+    hundreds of MB that never need to exist on the host).  The reference
+    ranks scan scores against the sorted per-window negative distribution
+    from ``calcLogOdds`` (``ScoreSeqSet::calcPvalues``, SURVEY.md 3.3) —
     per-sequence ZOOPS maxima are a different distribution family and
     would mis-scale the p/e-values (pinned by tests/test_scan_fdr.py).
 
@@ -295,14 +321,19 @@ def find_occurrences(
     reference's convention of scanning the appended reverse complement.
     """
     W = scan.W
-    neg = jnp.sort(jnp.asarray(neg_scores, jnp.float32))
-    M = int(neg.size)
+    if isinstance(neg_scores, ScanResult):
+        neg, M = neg_scores.window_pool_device()  # pads sort first (asc)
+        pad = int(neg.size) - M
+    else:
+        neg = jnp.sort(jnp.asarray(neg_scores, jnp.float32))
+        M = int(neg.size)
+        pad = 0
 
     occs: list = []
     for row0, sc, mask in scan.iter_chunks():
         S, n, n_win = sc.shape
-        lo = jnp.searchsorted(neg, sc, side="left")
-        hi = jnp.searchsorted(neg, sc, side="right")
+        lo = jnp.clip(jnp.searchsorted(neg, sc, side="left") - pad, 0, M)
+        hi = jnp.clip(jnp.searchsorted(neg, sc, side="right") - pad, 0, M)
         frac = jnp.where(hi > lo, 0.5 * (lo + hi), lo).astype(jnp.float32)
         pv_dev = jnp.clip((M - frac + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
         valid = jnp.broadcast_to(mask[None], sc.shape)

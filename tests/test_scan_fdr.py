@@ -392,3 +392,23 @@ class TestDeviceSweep:
         assert prcurve.average_recall(b2) == pytest.approx(
             prcurve.average_recall(a), abs=2e-3
         )
+
+    def test_scanresult_negative_pool_matches_host_array(self, trained):
+        """find_occurrences with the negatives' ScanResult (device pool,
+        -inf padding frontier) == with the fetched host array."""
+        sset, bg, m = trained
+        res = scan.score_set(m, bg, sset)
+        bg_fit = BackgroundModel.from_sequence_set(sset, order=2)
+        neg = seqgen.generate_neg_set(bg_fit, sset.lens, m_fold=2, seed=7)
+        neg_res = scan.score_set(m, bg, neg)
+        o_host = scan.find_occurrences(
+            res, sset, neg_res.all_window_scores(), 0.01
+        )
+        o_dev = scan.find_occurrences(res, sset, neg_res, 0.01)
+        assert [(o.seq_idx, o.start, o.strand) for o in o_host] == [
+            (o.seq_idx, o.start, o.strand) for o in o_dev
+        ]
+        for a, b in zip(o_host, o_dev):
+            assert a.pvalue == pytest.approx(b.pvalue, rel=1e-6)
+            assert a.evalue == pytest.approx(b.evalue, rel=1e-6)
+        assert len(o_host) > 0

@@ -150,7 +150,10 @@ def main() -> None:
         fdr_per_seed=fdr_rows,
         note="seed-stacked kernel: one compile + one program per (W, K) "
              "group; per-seed seconds are iteration shares of the group "
-             "wall clock (EMResult docs)",
+             "wall clock (EMResult docs).  On the axon tunnel the FDR "
+             "fold loop's eager glue pays ~0.5-1 s dispatch latency per "
+             "op, which dominates wall clock; the EM phase is ~1.2 s of "
+             "device time",
         timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"),
     )
     json.dump(artifact, open(os.path.join(REPO, "CONFIG4.json"), "w"), indent=1)

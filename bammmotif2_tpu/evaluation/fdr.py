@@ -253,14 +253,21 @@ def evaluate_motif(
                 train_set, order=params.sOrder, alpha=params.bgModelAlpha,
                 ss=params.ss,
             )
-            neg_sample = seqgen.generate_neg_set(
+            # sampling + revcomp + encoding fused in one device program;
+            # same PRNG keys as generate_neg_set -> identical sequences
+            neg_cidx, neg_lens = seqgen.generate_neg_data(
                 bg_fit, lens_np[test_sel], m_fold=params.mFold,
-                seed=params.seed + f, n_pad=n_neg_pad, pad_len=neg_pad_len,
+                seed=params.seed + f, K=K, ss=params.ss,
+                n_pad=n_neg_pad, pad_len=neg_pad_len,
             )
-            sdata = prepare_data(neg_sample, bg, K, params.ss)
+            sdata = {
+                "cidx": neg_cidx,
+                "lens": jnp.asarray(neg_lens),
+                "bg_flat": data["bg_flat"],
+            }
             nz, nm, nm_n = _collect_scores(
-                v, sdata, np.asarray(neg_sample.lens, np.int32),
-                np.asarray(neg_sample.lens) > 0, A=A, K=K, W=W, path=path,
+                v, sdata, np.asarray(neg_lens, np.int32),
+                neg_lens > 0, A=A, K=K, W=W, path=path,
             )
             neg_zoops.append(nz)
             neg_mops.append(nm)

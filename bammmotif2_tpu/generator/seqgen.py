@@ -110,6 +110,71 @@ def generate_neg_set(
     return SequenceSet(codes=codes, lens=lens_rep, headers=headers, alphabet=bg_fit.alphabet)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("L", "s_order", "A", "K", "ss")
+)
+def _sample_encode(key, trans, lens, comp_table, *, L, s_order, A, K, ss):
+    """Markov sampling + reverse complement + k-mer encoding in ONE jitted
+    program (no host round trip between the stages)."""
+    from bammmotif2_tpu.ops import encode as encode_mod
+
+    codes = _sample_markov_batch(key, trans, lens, L=L, s_order=s_order, A=A)
+    strands = [codes]
+    if not ss:
+        strands.append(
+            encode_mod.revcomp_codes_device(codes, lens, comp_table)
+        )
+    return jnp.stack(
+        [encode_mod.combined_kmer_index(c, A, K) for c in strands]
+    )
+
+
+def generate_neg_data(
+    bg_fit: BackgroundModel,
+    lens: np.ndarray,
+    m_fold: int,
+    seed: int,
+    K: int,
+    ss: bool,
+    n_pad: int | None = None,
+    pad_len: int | None = None,
+):
+    """Sampled-negative index tensors entirely on device.
+
+    Same sampling contract as generate_neg_set (identical PRNG keys →
+    identical sequences), but the codes never visit the host: sampling,
+    reverse complement, and combined k-mer encoding run as one jitted
+    program, returning (cidx [S, N, L] device, lens [N] host int32).
+    Used by the FDR fold loop, whose per-fold negative sets otherwise
+    paid a fetch + re-upload + ~10 eager dispatches each.
+    """
+    A = bg_fit.alphabet.size
+    lens_rep = np.tile(np.asarray(lens, np.int32), m_fold)
+    if n_pad is not None:
+        if n_pad < lens_rep.size:
+            raise ValueError(f"n_pad {n_pad} < {lens_rep.size} sampled rows")
+        lens_rep = np.concatenate(
+            [lens_rep, np.zeros(n_pad - lens_rep.size, np.int32)]
+        )
+    L = int(lens_rep.max()) if lens_rep.size else 0
+    if pad_len is not None:
+        if pad_len < L:
+            raise ValueError(f"pad_len {pad_len} < max sampled length {L}")
+        L = pad_len
+    table = np.array(
+        [bg_fit.alphabet.letters.index(c) for c in bg_fit.alphabet.complements],
+        dtype=np.int8,
+    )
+    cidx = _sample_encode(
+        jax.random.PRNGKey(seed),
+        tuple(jnp.asarray(v, jnp.float32) for v in bg_fit.v),
+        jnp.asarray(lens_rep),
+        jnp.asarray(table),
+        L=L, s_order=bg_fit.order, A=A, K=K, ss=ss,
+    )
+    return cidx, lens_rep
+
+
 def sample_motif_sites(motif: Motif, n: int, seed: int = 0) -> np.ndarray:
     """Sample n site code arrays [n, W] from the motif's highest-order chain
     (for embedded-benchmark sets — ``SeqGenerator::sample_seqset_with_motif``)."""

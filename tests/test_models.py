@@ -175,3 +175,54 @@ class TestSeeds:
         assert m2.W == 4
         np.testing.assert_allclose(m2.v[0][:, 0], 0.25)
         np.testing.assert_allclose(m2.v[0][:, 1], m.v[0][:, 0])
+
+
+class TestGoldenHarnessHelpers:
+    """The comparison machinery of tools/golden_harness.py is exercised in
+    CI even while no reference binary exists (mount empty; SURVEY.md
+    provenance caveat): parse/compare must round-trip our own writers."""
+
+    def test_model_file_comparison_roundtrip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "tools")
+        import golden_harness as gh
+
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.utils.fasta import SequenceSet
+
+        sset = SequenceSet.from_sequences(
+            ["ACGTACGTACGTACGT", "TTGACCGTAAACGTAC"] * 4
+        )
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+        p1, _ = bg.write(str(tmp_path), "a")
+        p2, _ = bg.write(str(tmp_path), "b")
+        assert gh.compare_model_files(p1, p2, atol=1e-9) == []
+        # a perturbed copy must be flagged
+        txt = open(p1).read().splitlines()
+        for i, line in enumerate(txt):
+            s = line.strip()
+            if s and not s.startswith("#"):
+                vals = s.split()
+                vals[0] = str(float(vals[0]) + 0.01)
+                txt[i] = " ".join(vals)
+                break
+        p3 = tmp_path / "c.hbcp"
+        p3.write_text("\n".join(txt) + "\n")
+        assert gh.compare_model_files(p1, str(p3), atol=1e-4) != []
+
+    def test_occurrence_comparison(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "tools")
+        import golden_harness as gh
+
+        hdr = "header\tlength\tstrand\tstart..end\tsite\tscore\tp-value\te-value\n"
+        a = tmp_path / "a.occurrence"
+        b = tmp_path / "b.occurrence"
+        a.write_text(hdr + "s1\t80\t+\t5..12\tTGACTCAG\t12.5\t1e-5\t1e-2\n")
+        b.write_text(hdr + "s1\t80\t+\t5..12\tTGACTCAG\t12.5004\t2e-5\t2e-2\n")
+        assert gh.compare_occurrences(str(a), str(b)) == []  # score atol 1e-3
+        c = tmp_path / "c.occurrence"
+        c.write_text(hdr + "s1\t80\t-\t5..12\tTGACTCAG\t12.5\t1e-5\t1e-2\n")
+        assert gh.compare_occurrences(str(a), str(c)) != []

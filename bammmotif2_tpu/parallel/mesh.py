@@ -54,33 +54,26 @@ def _put(x, sharding: NamedSharding):
 
 
 def shard_em_data(mesh: Mesh, data: dict, sentinel: int) -> dict:
-    """Shard a prepare_data() dict: index tensors + lens over 'data',
-    bg_flat/map5 replicated.  Pads N so GSPMD partitions evenly; pad
+    """Shard a prepare_data() dict: the index tensor + lens over 'data',
+    bg_flat replicated.  Pads N so GSPMD partitions evenly; pad
     sequences have length 0 and all-invalid positions."""
     import jax.numpy as jnp
 
     n_data = mesh.shape["data"]
     S, N, L = data["cidx"].shape
     pad = (-N) % n_data
-    cidx, qidx, lens = data["cidx"], data["qidx"], data["lens"]
+    cidx, lens = data["cidx"], data["lens"]
     if pad:
         cidx = jnp.concatenate(
             [cidx, jnp.full((S, pad, L), sentinel, cidx.dtype)], axis=1
-        )
-        # all-symbols-invalid base-5 code = Q-1 (current digit = A)
-        qidx = jnp.concatenate(
-            [qidx, jnp.full((S, pad, L), int(data["map5"].shape[0]) - 1, qidx.dtype)],
-            axis=1,
         )
         lens = jnp.concatenate([lens, jnp.zeros((pad,), lens.dtype)])
     seq_sh = NamedSharding(mesh, P(None, "data", None))
     rep = NamedSharding(mesh, P())
     return {
         "cidx": _put(cidx, seq_sh),
-        "qidx": _put(qidx, seq_sh),
         "lens": _put(lens, NamedSharding(mesh, P("data"))),
         "bg_flat": _put(data["bg_flat"], rep),
-        "map5": _put(data["map5"], rep),
     }
 
 

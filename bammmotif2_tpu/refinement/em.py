@@ -99,17 +99,12 @@ def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool) -> di
     Returns a dict pytree:
       cidx [S, N, L] combined-LUT rows (gather AND pallas_em paths — the
         kernel one-hots directly in combined-row space)
-      qidx [S, N, L] base-(A+1) codes (the alternative flat-layout kernel)
-      lens [N], bg_flat [R], map5 [(A+1)^(K+1)]
+      lens [N], bg_flat [R]
     """
-    A = sset.alphabet.size
-    cidx, lens = encode.strand_indices(sset, K, ss)
     return {
-        "cidx": cidx,
-        "qidx": encode.strand_base5_indices(sset, K, ss),
-        "lens": lens,
+        "cidx": encode.strand_indices(sset, K, ss)[0],
+        "lens": jnp.asarray(sset.lens),
         "bg_flat": jnp.asarray(bg.conditional_flat(K), jnp.float32),
-        "map5": jnp.asarray(encode.map_base5_to_combined(A, K)),
     }
 
 
@@ -142,11 +137,11 @@ def em_step(
     ``path``: 'gather' (XLA, any K), 'pallas' (fused TPU kernel — K <= 5
     at A=4, gated by ``pallas_em.supported``), 'pallas_shard' (the kernel
     per data-axis shard inside shard_map, with an explicit psum count
-    merge — requires ``mesh``), 'flat' (the alternative flat-layout
-    kernel in ops.pallas_flat; retained A/B loser, not chosen by
-    ``choose_path``), or the '*_interpret' variants ('pallas_interpret',
-    'pallas_shard_interpret', 'flat_interpret' — kernel correctness mode
-    on CPU).
+    merge — requires ``mesh``), or the '*_interpret' variants
+    ('pallas_interpret', 'pallas_shard_interpret' — kernel correctness
+    mode on CPU).  The retired flat-layout kernel (round-3 A/B loser)
+    lives in tools/pallas_flat.py with its own tests and is no longer
+    dispatchable here.
     """
     R = encode.num_rows(A, K)
     lens = data["lens"]
@@ -174,13 +169,6 @@ def em_step(
             out_specs=(P(), P()),
             check_vma=False,  # pallas_call outs carry no vma annotation
         )(data["cidx"], lens, q, s_flat)
-    elif path.startswith("flat"):
-        from bammmotif2_tpu.ops import pallas_flat
-
-        C, ll = pallas_flat.em_counts(
-            s_flat, data["qidx"], lens, q, data["map5"],
-            A=A, K=K, W=W, R=R, interpret=path == "flat_interpret",
-        )
     elif path.startswith("pallas"):
         from bammmotif2_tpu.ops import pallas_em
 

@@ -107,95 +107,6 @@ class TestPallasKernelEquivalence:
         np.testing.assert_allclose(float(llg), float(llp), rtol=1e-5)
 
 
-class TestFlatKernel:
-    """Parity of the flat-layout kernel (ops/pallas_flat.py) vs the gather
-    oracle, through the same em_step entry the driver uses."""
-
-    @pytest.mark.parametrize(
-        "K,W", [(0, 8), (1, 8), (2, 8), (3, 6), (4, 8), (5, 6)]
-    )
-    def test_matches_gather_path(self, K, W):
-        v, data, motif = _setup(K, W)
-        alphas = jnp.asarray(motif.alphas, jnp.float32)
-        f_bg = jnp.asarray(motif.f_bg, jnp.float32)
-        q = jnp.asarray(0.7, jnp.float32)
-
-        kw = dict(A=4, K=K, W=W, optimize_q=True)
-        vg, qg, llg, vdg = em_step(v, q, data, alphas, f_bg, path="gather", **kw)
-        vf, qf, llf, vdf = em_step(
-            v, q, data, alphas, f_bg, path="flat_interpret", **kw
-        )
-        np.testing.assert_allclose(float(llg), float(llf), rtol=1e-5)
-        np.testing.assert_allclose(float(qg), float(qf), rtol=1e-5)
-        for a, b in zip(vg, vf):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-
-    def test_short_sequences_and_padding(self):
-        # lens < W rows put all mass on r0; pad rows contribute log(1-q)
-        K, W = 2, 8
-        sset = SequenceSet.from_sequences(
-            ["ACGTACGTACGTACGT", "ACG", "ACGTACGTA"]
-        )
-        bg = BackgroundModel.from_sequence_set(sset, order=2)
-        motif = seeds_mod.motif_from_pwm(
-            seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=K, f_bg=sset.base_frequencies()
-        )
-        data = prepare_data(sset, bg, K, ss=False)
-        v = tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v)
-        alphas = jnp.asarray(motif.alphas, jnp.float32)
-        f_bg = jnp.asarray(motif.f_bg, jnp.float32)
-        kw = dict(A=4, K=K, W=W, optimize_q=False)
-        _, _, llg, _ = em_step(v, 0.9, data, alphas, f_bg, path="gather", **kw)
-        _, _, llf, _ = em_step(v, 0.9, data, alphas, f_bg, path="flat_interpret", **kw)
-        np.testing.assert_allclose(float(llg), float(llf), rtol=1e-5)
-
-    @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (4, 6)])
-    def test_window_scores(self, K, W):
-        from bammmotif2_tpu.models.motif import log_odds_lut
-        from bammmotif2_tpu.ops import escore, pallas_flat
-
-        v, data, motif = _setup(K, W)
-        s_flat = log_odds_lut(v, data["bg_flat"])
-        sc_g, m_g = escore.window_scores(s_flat, data["cidx"], data["lens"], W)
-        sc_f, m_f = pallas_flat.window_scores(
-            s_flat, data["qidx"], data["lens"], data["map5"],
-            A=4, K=K, W=W, interpret=True,
-        )
-        np.testing.assert_array_equal(np.asarray(m_g), np.asarray(m_f))
-        np.testing.assert_allclose(
-            np.asarray(sc_g)[np.asarray(m_g)[None].repeat(2, 0)],
-            np.asarray(sc_f)[np.asarray(m_f)[None].repeat(2, 0)],
-            atol=1e-5,
-        )
-
-    @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (4, 6)])
-    def test_counts_from_r(self, K, W):
-        from bammmotif2_tpu.ops import escore, pallas_flat
-
-        v, data, motif = _setup(K, W)
-        cidx, lens = data["cidx"], data["lens"]
-        S, N, L = cidx.shape
-        n_win = L - W + 1
-        R = encode.num_rows(4, K)
-        rng = np.random.default_rng(1)
-        mask = np.asarray(escore.window_mask(lens, n_win, W))
-        r = np.zeros((S, N, n_win), np.float32)
-        for n in range(N):
-            valid = np.nonzero(mask[n])[0]
-            if len(valid) and rng.random() < 0.8:
-                r[rng.integers(0, S), n, rng.choice(valid)] = 1.0
-        r = jnp.asarray(r)
-        C_ref = escore.mstep_counts(r, cidx, R, W)
-        r_snl = jnp.pad(r, ((0, 0), (0, 0), (0, L - n_win)))
-        C_flat = pallas_flat.counts_from_r(
-            r_snl, data["qidx"], data["map5"],
-            A=4, K=K, W=W, R=R, interpret=True,
-        )
-        np.testing.assert_allclose(
-            np.asarray(C_flat), np.asarray(C_ref), atol=1e-5
-        )
-
-
 class TestPallasCountsFromR:
     @pytest.mark.parametrize("K,W", [(0, 8), (2, 8), (4, 6)])
     def test_matches_segment_sum_counts(self, K, W):

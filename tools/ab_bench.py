@@ -1,7 +1,9 @@
 """A/B kernel benchmark through bench.py's stable em_step methodology.
 
 Usage:  JAX_PLATFORMS=axon,cpu python ab_bench.py K path [path...]
-e.g.    python ab_bench.py 3 pallas flat
+e.g.    python ab_bench.py 3 pallas gather
+(the retired flat kernel lives in tools/pallas_flat.py and is no longer
+an em_step path)
 
 Data prep runs on the CPU backend (the axon tunnel makes eager host prep
 pathologically slow); em_step timing uses the chained-state host loop that
@@ -149,7 +151,7 @@ def load_problem(path):
     nv = int(z["nv"])
     v = tuple(jax.device_put(z[f"v{k}"], dev) for k in range(nv))
     data = {k: jax.device_put(z[k], dev)
-            for k in ("cidx", "qidx", "lens", "bg_flat", "map5")}
+            for k in ("cidx", "lens", "bg_flat")}
     alphas = jax.device_put(z["alphas"], dev)
     f_bg = jax.device_put(z["f_bg"], dev)
     return v, data, alphas, f_bg
@@ -157,7 +159,7 @@ def load_problem(path):
 
 def main():
     K = int(sys.argv[1])
-    paths = sys.argv[2:] or ["pallas", "flat"]
+    paths = sys.argv[2:] or ["pallas", "gather"]
     npz = f"/tmp/bamm_ab_{K}_{N_SEQS}_{SEQ_LEN}_{W}.npz"
     import os
     if os.environ.get("JAX_PLATFORMS") == "cpu":

@@ -154,7 +154,15 @@ def time_em_multi(M: int = 3) -> float:
 
 
 def time_scan() -> float:
-    """Scanner throughput: the scores-only Pallas kernel on the same set."""
+    """Scanner throughput: the scores-only Pallas kernel on the same set.
+
+    Device-resident loop (same methodology as time_em): N_TIMED_ITERS
+    scoring passes chained inside ONE jitted fori_loop via a scalar
+    carrier — the previous per-call host loop measured 0.5–1.0 B w/s for
+    a kernel that runs at 2.1–2.4 B, pure tunnel-dispatch noise.
+    """
+    import functools
+
     import jax
 
     from bammmotif2_tpu.models.motif import log_odds_lut
@@ -163,18 +171,21 @@ def time_scan() -> float:
     v, q, data, alphas, f_bg, n_win = build_problem()
     s_flat = log_odds_lut(v, data["bg_flat"])
 
-    def run():
-        return pallas_em.window_scores(
-            s_flat, data["cidx"], data["lens"], A=4, K=K, W=W
-        )
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(s, n):
+        def body(_, s):
+            sc, _m = pallas_em.window_scores(
+                s, data["cidx"], data["lens"], A=4, K=K, W=W
+            )
+            return s + 0.0 * sc[0, 0, 0]  # data dependence between passes
 
-    def timed_round():
-        for _ in range(N_TIMED_ITERS):
-            out = run()
-        jax.block_until_ready(out)
+        return jax.lax.fori_loop(0, n, body, s)
 
-    jax.block_until_ready(run())
-    dt = min(_timed(timed_round) for _ in range(3))
+    jax.block_until_ready(loop(s_flat, N_TIMED_ITERS))  # compile + warm
+    dt = min(
+        _timed(lambda: jax.block_until_ready(loop(s_flat, N_TIMED_ITERS)))
+        for _ in range(3)
+    )
     return n_win * N_TIMED_ITERS / dt
 
 

@@ -338,3 +338,39 @@ class TestSeedStackedKernel:
             np.testing.assert_allclose(
                 np.asarray(C_m[m]), np.asarray(C_ref), atol=1e-5
             )
+
+    def test_single_strand_matches_gather(self):
+        """--ss geometry (S=1: one strand segment per kernel row)."""
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.ops import escore, pallas_em
+        from bammmotif2_tpu.refinement.em import prepare_data
+
+        K, W = 2, 8
+        rng = np.random.default_rng(7)
+        seqs = ["".join(rng.choice(list("ACGT"), size=int(rng.integers(W + 2, 50))))
+                for _ in range(40)]
+        sset = SequenceSet.from_sequences(seqs)
+        bg = BackgroundModel.from_sequence_set(sset, order=2, ss=True)
+        motif = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=K,
+            f_bg=sset.base_frequencies(),
+        )
+        data = prepare_data(sset, bg, K, ss=True)
+        assert data["cidx"].shape[0] == 1  # single strand
+        from bammmotif2_tpu.models.motif import log_odds_lut
+
+        lut = log_odds_lut(
+            tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v),
+            data["bg_flat"],
+        )
+        q = jnp.float32(0.7)
+        R = encode.num_rows(4, K)
+        sc, mask = escore.window_scores(lut, data["cidx"], data["lens"], W)
+        r, _r0, ll_o = escore.zoops_posterior(sc, mask, q)
+        C_o = escore.mstep_counts(r, data["cidx"], R, W)
+        C, ll = pallas_em.em_counts(
+            lut, data["cidx"], data["lens"], q,
+            A=4, K=K, W=W, R=R, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C_o), atol=1e-5)
+        np.testing.assert_allclose(float(ll), float(ll_o), rtol=1e-5)

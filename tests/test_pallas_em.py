@@ -374,3 +374,47 @@ class TestSeedStackedKernel:
         )
         np.testing.assert_allclose(np.asarray(C), np.asarray(C_o), atol=1e-5)
         np.testing.assert_allclose(float(ll), float(ll_o), rtol=1e-5)
+
+    def test_extended_alphabet_matches_gather(self):
+        """A=5 (METHYLC) kernel geometry: Q spans two lane-tiles even at
+        K=2, exercising the hi/lo split with a non-power-of-two alphabet."""
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.models.motif import log_odds_lut
+        from bammmotif2_tpu.ops import escore, pallas_em
+        from bammmotif2_tpu.refinement.em import prepare_data
+        from bammmotif2_tpu.utils.alphabet import Alphabet
+
+        alpha = Alphabet.from_type("METHYLC")
+        A, K, W = alpha.size, 2, 8
+        rng = np.random.default_rng(9)
+        seqs = [
+            "".join(rng.choice(list("ACGTM"), size=int(rng.integers(W + 2, 50)),
+                               p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+            for _ in range(40)
+        ]
+        sset = SequenceSet.from_sequences(seqs, alphabet=alpha)
+        bg = BackgroundModel.from_sequence_set(sset, order=2, ss=True)
+        pwm = np.full((W, A), 1.0 / A)
+        motif = seeds_mod.motif_from_pwm(
+            pwm, K=K, f_bg=sset.base_frequencies(), alphabet=alpha
+        )
+        data = prepare_data(sset, bg, K, ss=True)
+        lut = log_odds_lut(
+            tuple(jnp.asarray(vk, jnp.float32) for vk in motif.v),
+            data["bg_flat"],
+        )
+        lut = lut + jnp.asarray(
+            np.random.default_rng(1).normal(0, 0.3, lut.shape), jnp.float32
+        ).at[-1].set(0.0)  # perturb for a non-trivial posterior; sentinel 0
+        q = jnp.float32(0.6)
+        R = encode.num_rows(A, K)
+        assert pallas_em.supported(K, A)
+        sc, mask = escore.window_scores(lut, data["cidx"], data["lens"], W)
+        r, _r0, ll_o = escore.zoops_posterior(sc, mask, q)
+        C_o = escore.mstep_counts(r, data["cidx"], R, W)
+        C, ll = pallas_em.em_counts(
+            lut, data["cidx"], data["lens"], q,
+            A=A, K=K, W=W, R=R, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C_o), atol=2e-5)
+        np.testing.assert_allclose(float(ll), float(ll_o), rtol=1e-5)

@@ -133,27 +133,46 @@ def _geometry(A, K, W, S, L, M=1):
     SLp = _round_up(S * L, LANE)
     Wt = M * Qhi * Wp  # stacked matmul output height (seed-major)
     stack_terms = Wt <= TERM_STACK_MAX_WT
-    # fixed per-block VMEM: low one-hot (bf16), term-stacked LUT (bf16),
-    # counts accumulator (f32), E/M matmul transients (f32; all terms
-    # at once when term-stacked, one term otherwise)
     nt_live = (NT_SCORES + NT_COUNTS) if stack_terms else 2
-    fixed = (
-        QloP * SLp * 2
-        + QloP * NT_SCORES * Wt * 2
-        + QloP * Wt * 4
-        + nt_live * Wt * SLp * 4
-    )
+
     # per-sequence: the two (M*Wp, SLp) f32 scratch planes + ~8 (B, SLp)
     # row temporaries; when the per-row loops unroll (Qhi == 1) Mosaic
     # stacks each row's (Wt, SLp) matmul transient, so budget it per row
     per_seq = SLp * (8 * M * Wp + 32)
     if Qhi == 1:
         per_seq += 4 * Wt * SLp
+
+    def fixed_bytes(G):
+        # fixed per-block VMEM: low one-hot (bf16), term-stacked LUT
+        # (bf16), counts accumulator (f32), E/M matmul transients (f32;
+        # all terms at once when term-stacked, one term otherwise) — the
+        # one-hot and transients widen G-fold on the hi/lo path
+        return (
+            QloP * G * SLp * 2
+            + QloP * NT_SCORES * Wt * 2
+            + QloP * Wt * 4
+            + nt_live * Wt * G * SLp * 4
+        )
+
+    # hi/lo (Qhi > 1) loops: G sequences share each dot by LANE
+    # concatenation — same MAC count in G-fold fewer, wider MXU dispatches.
+    # Measured on a v5e (10k x 200 bp, W=12): K=3 8.1 -> 4.3 ms/iter,
+    # K=4 12.4 -> 9.9 with G=4/2; K=5 unchanged-at-G=1 was re-enabled by
+    # this budget rule (fixed + room for >= 8-sequence blocks).
+    G = 1
+    if Qhi > 1:
+        for cand in (4, 2):
+            if fixed_bytes(cand) + 8 * per_seq <= _VMEM_BUDGET:
+                G = cand
+                break
+    fixed = fixed_bytes(G)
     avail = max(_VMEM_BUDGET - fixed, per_seq)
     B = max(1, min(MAX_B, avail // per_seq))
+    B = max(G, (B // G) * G)  # the G-row loop needs B % G == 0
     return dict(
         Q=Q, Qlo=Qlo, Qhi=Qhi, QloP=QloP, Wp=Wp, SLp=SLp, B=B,
-        M=M, Wt=Wt, stack_terms=stack_terms, fixed=fixed, per_seq=per_seq,
+        M=M, Wt=Wt, stack_terms=stack_terms, G=G,
+        fixed=fixed, per_seq=per_seq,
     )
 
 
@@ -319,7 +338,7 @@ def _mstep_row(codes_row, rw_b, C5_ref, *, M, Qhi, Qlo, QloP, Wp, SLp, stack):
 def _kernel(
     q_ref, qcodes_ref, lens_ref, s5t_ref, ipos_ref,
     C5_ref, stats_ref, P3, rw3,
-    *, B, S, W, SLp, Qlo, Qhi, QloP, Wp, M, SP, stack,
+    *, B, S, W, SLp, Qlo, Qhi, QloP, Wp, M, SP, stack, G,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -343,11 +362,32 @@ def _kernel(
         P3[pl.ds(b, 1), :, :] = P.reshape(1, M * Wp, SLp)
         return 0
 
+    def e_body_g(i, _):
+        # G sequences share one dot: their code rows concatenate on LANES
+        # (same MACs, G-fold fewer and wider MXU dispatches; measured
+        # 1.9x at K=3 and 1.25x at K=4 on a v5e)
+        b0 = i * G
+        codes_g = jnp.concatenate(
+            [_row_of(qcodes_ref, b0 + g) for g in range(G)], axis=1
+        )  # (1, G*SLp)
+        P = _escore_row(
+            codes_g, s5t_ref,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=G * SLp,
+            stack=stack,
+        )  # (M*Wp, G*SLp)
+        for g in range(G):
+            P3[pl.ds(b0 + g, 1), :, :] = P[
+                :, g * SLp : (g + 1) * SLp
+            ].reshape(1, M * Wp, SLp)
+        return 0
+
     if Qhi == 1:
         for b in range(B):
             e_body(b, 0)
-    else:
+    elif G == 1:
         jax.lax.fori_loop(0, B, e_body, 0, unroll=HI_UNROLL)
+    else:
+        jax.lax.fori_loop(0, B // G, e_body_g, 0, unroll=HI_UNROLL)
 
     # shared per-block geometry for the ZOOPS posterior
     lens = lens_ref[0]  # (B, 1) f32
@@ -387,11 +427,32 @@ def _kernel(
         )
         return 0
 
+    def m_body_g(i, _):
+        b0 = i * G
+        codes_g = jnp.concatenate(
+            [_row_of(qcodes_ref, b0 + g) for g in range(G)], axis=1
+        )
+        rw_g = jnp.concatenate(
+            [
+                rw3[pl.ds(b0 + g, 1), :, :].reshape(M * Wp, SLp)
+                for g in range(G)
+            ],
+            axis=1,
+        )  # (M*Wp, G*SLp)
+        _mstep_row(
+            codes_g, rw_g, C5_ref,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=G * SLp,
+            stack=stack,
+        )
+        return 0
+
     if Qhi == 1:
         for b in range(B):
             m_body(b, 0)
-    else:
+    elif G == 1:
         jax.lax.fori_loop(0, B, m_body, 0, unroll=HI_UNROLL)
+    else:
+        jax.lax.fori_loop(0, B // G, m_body_g, 0, unroll=HI_UNROLL)
 
 
 def _prep(cidx, lens, g):
@@ -495,7 +556,7 @@ def em_counts_multi(
     kernel = functools.partial(
         _kernel, B=B, S=S, W=W, SLp=SLp,
         Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, M=M, SP=SP,
-        stack=g["stack_terms"],
+        stack=g["stack_terms"], G=g["G"],
     )
     C5g, stats = pl.pallas_call(
         kernel,
@@ -570,7 +631,7 @@ def em_counts(
 
 def _counts_kernel(
     qcodes_ref, r_ref, C5_ref, rw3,
-    *, B, W, SLp, Qlo, Qhi, QloP, Wp, M, stack,
+    *, B, W, SLp, Qlo, Qhi, QloP, Wp, M, stack, G,
 ):
     """M-step-only variant: counts from EXTERNAL responsibilities.
 
@@ -599,11 +660,32 @@ def _counts_kernel(
         )
         return 0
 
+    def m_body_g(i, _):
+        b0 = i * G
+        codes_g = jnp.concatenate(
+            [_row_of(qcodes_ref, b0 + g) for g in range(G)], axis=1
+        )
+        rw_g = jnp.concatenate(
+            [
+                rw3[pl.ds(b0 + g, 1), :, :].reshape(M * Wp, SLp)
+                for g in range(G)
+            ],
+            axis=1,
+        )
+        _mstep_row(
+            codes_g, rw_g, C5_ref,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=G * SLp,
+            stack=stack,
+        )
+        return 0
+
     if Qhi == 1:  # unroll/loop trade-off: see _kernel
         for b in range(B):
             m_body(b, 0)
-    else:
+    elif G == 1:
         jax.lax.fori_loop(0, B, m_body, 0, unroll=HI_UNROLL)
+    else:
+        jax.lax.fori_loop(0, B // G, m_body_g, 0, unroll=HI_UNROLL)
 
 
 @functools.partial(jax.jit, static_argnames=("A", "K", "W", "R", "interpret"))
@@ -649,6 +731,7 @@ def counts_from_r_multi(
     kernel = functools.partial(
         _counts_kernel, B=B, W=W, SLp=SLp,
         Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, M=M, stack=g["stack_terms"],
+        G=g["G"],
     )
     C5g, = pl.pallas_call(
         kernel,
@@ -696,7 +779,7 @@ def counts_from_r(
 
 def _scores_kernel(
     qcodes_ref, s5t_ref, sc_ref, P3,
-    *, B, W, SLp, Qlo, Qhi, QloP, Wp, M, stack,
+    *, B, W, SLp, Qlo, Qhi, QloP, Wp, M, stack, G,
 ):
     """Scores-only variant of _kernel: window log-odds, no posterior.
 
@@ -711,11 +794,29 @@ def _scores_kernel(
         P3[pl.ds(b, 1), :, :] = P.reshape(1, M * Wp, SLp)
         return 0
 
+    def e_body_g(i, _):
+        b0 = i * G
+        codes_g = jnp.concatenate(
+            [_row_of(qcodes_ref, b0 + g) for g in range(G)], axis=1
+        )
+        P = _escore_row(
+            codes_g, s5t_ref,
+            M=M, Qhi=Qhi, Qlo=Qlo, QloP=QloP, Wp=Wp, SLp=G * SLp,
+            stack=stack,
+        )
+        for g in range(G):
+            P3[pl.ds(b0 + g, 1), :, :] = P[
+                :, g * SLp : (g + 1) * SLp
+            ].reshape(1, M * Wp, SLp)
+        return 0
+
     if Qhi == 1:  # unroll/loop trade-off: see _kernel
         for b in range(B):
             e_body(b, 0)
-    else:
+    elif G == 1:
         jax.lax.fori_loop(0, B, e_body, 0, unroll=HI_UNROLL)
+    else:
+        jax.lax.fori_loop(0, B // G, e_body_g, 0, unroll=HI_UNROLL)
     for m in range(M):
         sc = P3[:, m * Wp, :]
         for j in range(1, W):
@@ -758,6 +859,7 @@ def window_scores_multi(
     kernel = functools.partial(
         _scores_kernel, B=B, W=W, SLp=SLp,
         Qlo=g["Qlo"], Qhi=Qhi, QloP=QloP, Wp=Wp, M=M, stack=g["stack_terms"],
+        G=g["G"],
     )
     sc, = pl.pallas_call(
         kernel,

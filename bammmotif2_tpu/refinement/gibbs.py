@@ -652,6 +652,15 @@ def run_gibbs_multi(
         group = [motifs[i] for i in idxs]
         A = group[0].A
         M = len(group)
+        if M == 1:
+            # single-member group: the seed-stacked machinery's vmapped
+            # stages cost ~1.7x at M=1 (measured); the plain path with the
+            # same fold_in(base, 0) key reproduces member 0 exactly
+            results[idxs[0]] = run_gibbs(
+                group[0], bg, sset, params, mesh=mesh,
+                key=jax.random.fold_in(base_key, 0),
+            )
+            continue
         data = prepare_data(sset, bg, K, params.ss)
         n_real = int(data["lens"].shape[0])
         if mesh is not None:

@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-from bammmotif2_tpu.evaluation.fdr import evaluate_motif
+from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
 from bammmotif2_tpu.generator import seqgen
 from bammmotif2_tpu.models.background import BackgroundModel
 from bammmotif2_tpu.models.motifset import load_motifs
@@ -305,8 +305,12 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
 
     if params.FDR:
         seed_motifs = load_motifs(params, pos_set.base_frequencies(), alphabet)
-        for m in seed_motifs:
-            fdr_res = evaluate_motif(m, bg, pos_set, params, neg_set=neg_set)
+        # all seeds of a (W, K) group evaluate through ONE fused device
+        # program: fold scan + seed-stacked EM/CGS + scoring + in-program
+        # negative sampling + device MOPS sweeps (evaluation.fdr)
+        fdr_list = evaluate_motifs(seed_motifs, bg, pos_set, params,
+                                   neg_set=neg_set)
+        for m, fdr_res in zip(seed_motifs, fdr_list):
             if params.savePRs:
                 out["files"] += fdr_res.write(
                     params.outputDirectory, f"{basename}_{m.name}"

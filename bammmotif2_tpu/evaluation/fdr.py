@@ -158,6 +158,466 @@ def _collect_scores(v: tuple, data: dict, lens_np: np.ndarray, row_sel: np.ndarr
     return max_h, flat, n_true
 
 
+def _thin_rows(n: int, max_rows: int) -> np.ndarray:
+    """Uniform rank thinning shared by every sweep writer/fetcher."""
+    if n > max_rows:
+        return np.unique(
+            np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64)
+        )
+    return np.arange(max(n, 0), dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=32)
+def _group_fdr_program(
+    A: int, K: int, W: int, F: int, M: int, n_per: int, path: str,
+    refine: str, optimize_q: bool, max_iters: int,
+    cgs_statics: tuple, ss: bool, sampled: bool,
+    neg_pad_len: int, s_order: int, n_neg_gather: int,
+    n_pos_true: int, n_neg_true: int, max_rows: int,
+):
+    """The whole k-fold FDR evaluation of a seed group as ONE device program.
+
+    TPU-native form of ``FDR::evaluateMotif`` (SURVEY.md 3.5) for M seeds
+    of equal (W, K) at once: a ``lax.scan`` over the cvFold folds — each
+    iteration refines ALL M seeds in one seed-stacked batched EM/CGS
+    convergence loop on the train-masked length vector, scores the
+    held-out positives and the fold's negatives (sampled in-program from
+    the fold's background tables, or row-masked user negatives) through
+    one seed-stacked kernel each — followed by the per-seed MOPS
+    threshold sweep (sort + int32 rank cumsums) still on device.  Only
+    fold-level ZOOPS maxima and rank-thinned sweep tables return to the
+    host.
+
+    Round-4's per-seed, per-fold host loop paid ~0.5-1 s of dispatch
+    latency for each of its ~cvFold x seeds x 4 eager stages on the
+    tunnel transport — two orders of magnitude over the ~1.2 s of device
+    EM it launched (CONFIG4.json r4).  This program replaces all of it
+    with one dispatch per (W, K) group.
+
+    Rank arithmetic stays int32 on device (exact; pools < 2^31) and the
+    p-value/precision math runs on the host in float64 from the thinned
+    integer ranks — f32 rank quantization past 2^24 pooled windows would
+    corrupt deep-tail MOPS p-values (advisor r4 finding).
+    """
+    import jax.numpy as jnp  # noqa: F811 (local for the traced closures)
+
+    from bammmotif2_tpu.ops import escore as escore_mod
+    from bammmotif2_tpu.refinement import multi as multi_mod
+
+    NEG = escore_mod.NEG_INF
+    S = 1 if ss else 2
+    interpret = path.endswith("interpret")
+    rows_thin = _thin_rows(n_pos_true + n_neg_true, max_rows)
+
+    def score_multi(s_flat, cidx, lens):
+        if path.startswith("pallas"):
+            from bammmotif2_tpu.ops import pallas_em
+
+            return pallas_em.window_scores_multi(
+                s_flat, cidx, lens, A=A, K=K, W=W, interpret=interpret
+            )
+        sc, mk = jax.vmap(
+            lambda sf: escore_mod.window_scores(sf, cidx, lens, W)
+        )(s_flat)
+        return sc, mk[0]
+
+    if refine == "EM":
+        batched = multi_mod.make_batched_step(A, K, W, optimize_q, path)
+
+        def refine_fn(v0, q0, alphas, f_bg, tdata, n_train, epsilon, keys0):
+            def cond(state):
+                _v, _q, _lls, vds, its = state
+                return (jnp.max(its) < max_iters) & (jnp.max(vds) >= epsilon)
+
+            def body(state):
+                v, q, lls, vds, its = state
+                active = vds >= epsilon
+                v2, q2, ll2, vd2 = batched(v, q, tdata, alphas, f_bg, n_train)
+                vd_eff = jnp.minimum(vd2, jnp.abs(ll2 - lls))
+
+                def keep(new, old):
+                    ax = (slice(None),) + (None,) * (new.ndim - 1)
+                    return jnp.where(active[ax], new, old)
+
+                return (
+                    tuple(keep(a, b) for a, b in zip(v2, v)),
+                    jnp.where(active, q2, q),
+                    jnp.where(active, ll2, lls),
+                    jnp.where(active, vd_eff, vds),
+                    its + active.astype(jnp.int32),
+                )
+
+            state = (
+                v0, q0,
+                jnp.full((M,), -jnp.inf, jnp.float32),
+                jnp.full((M,), jnp.inf, jnp.float32),
+                jnp.zeros((M,), jnp.int32),
+            )
+            v, _q, _lls, _vds, _its = jax.lax.while_loop(cond, body, state)
+            return v
+
+    elif refine == "CGS":
+        from bammmotif2_tpu.models import motif as motif_mod2
+        from bammmotif2_tpu.refinement.gibbs import gibbs_step_multi
+
+        sample_z, sample_q, learn_alpha, n_iters, burn_in = cgs_statics
+
+        def refine_fn(v0, q0, alphas, f_bg, tdata, n_train, epsilon, keys0):
+            la0 = jnp.log(alphas)
+            acc0 = tuple(
+                jnp.zeros((M, A ** (k + 1), W), jnp.float32)
+                for k in range(K + 1)
+            )
+
+            def body(carry, i):
+                v, q, la, keys, acc = carry
+                v2, q2, la2, keys2, _lls, _noccs, counts = gibbs_step_multi(
+                    v, q, la, keys, tdata, f_bg, alphas, n_train,
+                    A=A, K=K, W=W, sample_z=sample_z, sample_q=sample_q,
+                    learn_alpha=learn_alpha, path=path, mesh=None,
+                )
+                take = (i >= burn_in).astype(jnp.float32)
+                acc = tuple(a + take * c for a, c in zip(acc, counts))
+                return (v2, q2, la2, keys2, acc), None
+
+            (v, _q, la, _keys, acc), _ = jax.lax.scan(
+                body, (v0, q0, la0, keys0, acc0), jnp.arange(n_iters)
+            )
+            if burn_in > 0:
+                acc = tuple(a / max(n_iters - burn_in, 1) for a in acc)
+                v = jax.vmap(motif_mod2.update_v, in_axes=(0, 0, None))(
+                    acc, jnp.exp(la), f_bg
+                )
+            return v
+
+    else:  # score the seeds as-is
+
+        def refine_fn(v0, q0, alphas, f_bg, tdata, n_train, epsilon, keys0):
+            return v0
+
+    def gather_rows(sc, mk, rows):
+        """[M, S, N, nw] scores -> the selected rows, -inf on row pads."""
+        valid = rows >= 0
+        safe = jnp.maximum(rows, 0)
+        scr = jnp.where(valid[None, None, :, None], sc[:, :, safe, :], NEG)
+        mkr = mk[safe] & valid[:, None]
+        return scr, mkr
+
+    @jax.jit
+    def program(inp):
+        cidx, bg_flat = inp["cidx"], inp["bg_flat"]
+        v0, q0 = inp["v0"], inp["q0"]
+        alphas, f_bg = inp["alphas"], inp["f_bg"]
+        epsilon, keys0 = inp["epsilon"], inp["keys0"]
+
+        def fold_body(_, x):
+            tdata = {"cidx": cidx, "lens": x["train_lens"],
+                     "bg_flat": bg_flat}
+            v = refine_fn(
+                v0, q0, alphas, f_bg, tdata, x["n_train"], epsilon, keys0
+            )
+            s_flat = jax.vmap(
+                lambda vk: motif_mod.log_odds_lut(vk, bg_flat)
+            )(v)
+
+            sc, mk = score_multi(s_flat, cidx, x["test_lens"])
+            scr, mkr = gather_rows(sc, mk, x["rows"])
+            pos_z = jnp.max(scr, axis=(1, 3))
+            pos_m = jnp.where(mkr[None, None], scr, NEG).reshape(M, -1)
+
+            if sampled:
+                ncidx = seqgen._sample_encode(
+                    x["key"], x["trans"], x["neg_lens"], inp["comp_table"],
+                    L=neg_pad_len, s_order=s_order, A=A, K=K, ss=ss,
+                )
+                nsc, nmk = score_multi(s_flat, ncidx, x["neg_lens"])
+                neg_z = jnp.max(nsc, axis=(1, 3))
+                neg_m = jnp.where(nmk[None, None], nsc, NEG).reshape(M, -1)
+            else:
+                nsc, nmk = score_multi(
+                    s_flat, inp["neg_cidx"], x["neg_test_lens"]
+                )
+                nscr, nmkr = gather_rows(nsc, nmk, x["neg_rows"])
+                neg_z = jnp.max(nscr, axis=(1, 3))
+                neg_m = jnp.where(nmkr[None, None], nscr, NEG).reshape(M, -1)
+            return 0, (pos_z, pos_m, neg_z, neg_m)
+
+        _, (pos_z, pos_m, neg_z, neg_m) = jax.lax.scan(
+            fold_body, 0, inp["xs"]
+        )
+
+        # fold-pooled per-seed MOPS pools: [F, M, X] -> [M, F * X]
+        pos_pool = jnp.swapaxes(pos_m, 0, 1).reshape(M, -1)
+        neg_pool = jnp.swapaxes(neg_m, 0, 1).reshape(M, -1)
+        rows_d = jnp.asarray(rows_thin, jnp.int32)
+
+        def sweep_one(pools):
+            pp, nn = pools
+            pool = jnp.concatenate([pp, nn])
+            is_pos = jnp.concatenate([
+                jnp.ones(pp.shape, jnp.int32), jnp.zeros(nn.shape, jnp.int32)
+            ])
+            # pads (NEG_INF) sort past the true n_pos + n_neg frontier —
+            # below any real (finite) score — so thinned rows < n never
+            # touch them regardless of within-tie order
+            order = jnp.argsort(-pool, stable=True)
+            pool_s = pool[order]
+            is_pos_s = is_pos[order]
+            tp = jnp.cumsum(is_pos_s, dtype=jnp.int32)[rows_d]
+            fpc = jnp.cumsum(1 - is_pos_s, dtype=jnp.int32)[rows_d]
+            sc_t = pool_s[rows_d]
+            neg_sorted = jnp.sort(nn)  # -inf pads sort FIRST ascending
+            pad_neg = nn.shape[0] - n_neg_true
+            lo = jnp.clip(
+                jnp.searchsorted(neg_sorted, sc_t, side="left") - pad_neg,
+                0, n_neg_true,
+            )
+            hi = jnp.clip(
+                jnp.searchsorted(neg_sorted, sc_t, side="right") - pad_neg,
+                0, n_neg_true,
+            )
+            return (sc_t, tp, fpc,
+                    lo.astype(jnp.int32), hi.astype(jnp.int32))
+
+        # lax.map (sequential over seeds) bounds the sort workspace to one
+        # seed's pool instead of vmapping M sorts of tens of millions each
+        sw = jax.lax.map(sweep_one, (pos_pool, neg_pool))
+        return dict(pos_z=pos_z, neg_z=neg_z, sw=sw)
+
+    return program
+
+
+def _mops_from_ranks(sw, m: int, m_fold_eff: float,
+                     n_pos_true: int, n_neg_true: int) -> dict:
+    """Host float64 sweep table from the fetched int32 device ranks."""
+    score = np.asarray(sw[0][m], np.float64)
+    tp = np.asarray(sw[1][m], np.float64)
+    fp = np.asarray(sw[2][m], np.float64) / (m_fold_eff if m_fold_eff > 0 else 1)
+    lo = np.asarray(sw[3][m], np.float64)
+    hi = np.asarray(sw[4][m], np.float64)
+    frac = np.where(hi > lo, 0.5 * (lo + hi), lo)
+    if n_neg_true > 0:
+        pv = np.clip(
+            (n_neg_true - frac + 1.0) / (n_neg_true + 1.0),
+            1.0 / (n_neg_true + 1.0), 1.0,
+        )
+    else:
+        pv = np.ones_like(score)
+    return {
+        "score": score,
+        "tp": tp,
+        "fp": fp,
+        "precision": tp / np.maximum(tp + fp, 1e-30),
+        "recall": tp / max(n_pos_true, 1),
+        "pvalue": pv,
+    }
+
+
+def evaluate_motifs(
+    seed_motifs: list,
+    bg: BackgroundModel,
+    sset: SequenceSet,
+    params: Params | None = None,
+    refine: str | None = None,
+    neg_set: SequenceSet | None = None,
+) -> list:
+    """k-fold CV FDR analysis for a whole MotifSet — the batched driver.
+
+    Semantically ``[evaluate_motif(m, ...) for m in seed_motifs]`` (same
+    folds, same per-fold PRNG keys, same statistics), but seeds of equal
+    (W, K) evaluate through ONE fused device program per group
+    (``_group_fdr_program``): the fold loop, seed-stacked refinement,
+    scoring, in-program negative sampling, and the MOPS threshold sweeps
+    all run device-side, so a full --FDR pass costs one dispatch + one
+    small fetch per group instead of ~cvFold x seeds x 4 eager stages.
+
+    Falls back to the per-seed path when cvFold < 2 (the fused program's
+    fold scan needs at least one real train/test split).
+    """
+    params = params or Params(FDR=True)
+    if refine is None:
+        refine = "CGS" if params.CGS else "EM"
+    n_folds = max(1, params.cvFold)
+    if n_folds < 2 or sset.n < n_folds:
+        return [
+            evaluate_motif(m, bg, sset, params, refine=refine,
+                           neg_set=neg_set)
+            for m in seed_motifs
+        ]
+
+    results: list = [None] * len(seed_motifs)
+    groups: dict = {}
+    for i, m in enumerate(seed_motifs):
+        groups.setdefault((m.W, m.K, m.A), []).append(i)
+    for idxs in groups.values():
+        group = [seed_motifs[i] for i in idxs]
+        for i, res in zip(idxs, _evaluate_group(
+            group, bg, sset, params, refine, neg_set
+        )):
+            results[i] = res
+    return results
+
+
+def _evaluate_group(
+    group: list,
+    bg: BackgroundModel,
+    sset: SequenceSet,
+    params: Params,
+    refine: str,
+    neg_set: SequenceSet | None,
+) -> list:
+    """Fused FDR evaluation of one (W, K) seed group (see evaluate_motifs)."""
+    A, K, W = group[0].A, group[0].K, group[0].W
+    M = len(group)
+    F = max(1, params.cvFold)
+    S = 1 if params.ss else 2
+    N = sset.n
+    lens_np = np.asarray(sset.lens, np.int32)
+    fold_of = np.arange(N) % F
+    n_per = -(-N // F)
+
+    data = prepare_data(sset, bg, K, params.ss)
+    path = choose_path(params, K, A=A)
+
+    rows_np = np.full((F, n_per), -1, np.int32)
+    train_lens = np.zeros((F, N), np.int32)
+    test_lens = np.zeros((F, N), np.int32)
+    n_train = np.zeros((F,), np.float32)
+    fold_sizes = np.zeros((F,), np.int64)
+    for f in range(F):
+        t_idx = np.nonzero(fold_of == f)[0]
+        rows_np[f, : t_idx.size] = t_idx
+        fold_sizes[f] = t_idx.size
+        test_lens[f, t_idx] = lens_np[t_idx]
+        train_lens[f] = np.where(fold_of != f, lens_np, 0)
+        n_train[f] = float((fold_of != f).sum())
+
+    xs: dict = {
+        "train_lens": jnp.asarray(train_lens),
+        "test_lens": jnp.asarray(test_lens),
+        "rows": jnp.asarray(rows_np),
+        "n_train": jnp.asarray(n_train),
+    }
+    inp: dict = {
+        "cidx": data["cidx"],
+        "bg_flat": data["bg_flat"],
+        "v0": tuple(
+            jnp.stack([jnp.asarray(m.v[k], jnp.float32) for m in group])
+            for k in range(K + 1)
+        ),
+        "q0": jnp.full((M,), params.q, jnp.float32),
+        "alphas": jnp.stack(
+            [jnp.asarray(m.alphas, jnp.float32) for m in group]
+        ),
+        "f_bg": jnp.asarray(group[0].f_bg, jnp.float32),
+        "epsilon": jnp.float32(params.epsilon),
+        # CGS parity with the per-seed path: every seed samples with the
+        # run key PRNGKey(params.seed) (run_gibbs's default), every fold
+        "keys0": jnp.stack(
+            [jax.random.PRNGKey(params.seed)] * M
+        ),
+        "xs": xs,
+    }
+
+    n_pos_true = int(S * np.maximum(lens_np.astype(np.int64) - W + 1, 0).sum())
+    sampled = neg_set is None
+    if sampled:
+        m_fold = params.mFold
+        n_neg_pad = int(fold_sizes.max()) * max(m_fold, 1)
+        neg_pad_len = int(lens_np.max()) if lens_np.size else W
+        neg_lens_f = np.zeros((F, n_neg_pad), np.int32)
+        trans_f = [
+            np.zeros((F, A ** (o + 1)), np.float32)
+            for o in range(params.sOrder + 1)
+        ]
+        for f in range(F):
+            train_idx = np.nonzero(fold_of != f)[0]
+            if train_idx.size == 0:
+                train_idx = np.nonzero(fold_of == f)[0]
+            bg_fit = BackgroundModel.from_sequence_set(
+                sset.subset(train_idx), order=params.sOrder,
+                alpha=params.bgModelAlpha, ss=params.ss,
+            )
+            for o in range(params.sOrder + 1):
+                trans_f[o][f] = np.asarray(bg_fit.v[o], np.float32).ravel()
+            rep = np.tile(lens_np[fold_of == f], m_fold)
+            neg_lens_f[f, : rep.size] = rep
+        xs["key"] = jnp.stack([
+            jax.random.PRNGKey(params.seed + f) for f in range(F)
+        ])
+        xs["trans"] = tuple(jnp.asarray(t) for t in trans_f)
+        xs["neg_lens"] = jnp.asarray(neg_lens_f)
+        comp_table = np.array(
+            [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
+            dtype=np.int8,
+        )
+        inp["comp_table"] = jnp.asarray(comp_table)
+        n_neg_true = int(
+            S * np.maximum(neg_lens_f.astype(np.int64) - W + 1, 0).sum()
+        )
+        n_neg_gather = 0
+        neg_real_rows = [
+            int((neg_lens_f[f] > 0).sum()) for f in range(F)
+        ]
+    else:
+        neg_data = prepare_data(neg_set, bg, K, params.ss)
+        neg_lens_np = np.asarray(neg_set.lens, np.int32)
+        Nn = neg_set.n
+        neg_fold_of = np.arange(Nn) % F
+        n_neg_gather = -(-Nn // F)
+        neg_rows_np = np.full((F, n_neg_gather), -1, np.int32)
+        neg_test_lens = np.zeros((F, Nn), np.int32)
+        for f in range(F):
+            t_idx = np.nonzero(neg_fold_of == f)[0]
+            neg_rows_np[f, : t_idx.size] = t_idx
+            neg_test_lens[f, t_idx] = neg_lens_np[t_idx]
+        xs["neg_rows"] = jnp.asarray(neg_rows_np)
+        xs["neg_test_lens"] = jnp.asarray(neg_test_lens)
+        inp["neg_cidx"] = neg_data["cidx"]
+        neg_pad_len = 0
+        n_neg_true = int(
+            S * np.maximum(neg_lens_np.astype(np.int64) - W + 1, 0).sum()
+        )
+        neg_real_rows = [int((neg_fold_of == f).sum()) for f in range(F)]
+
+    cgs_statics = (
+        not params.noZSampling, not params.noQSampling,
+        not params.noAlphaOptimization, params.maxCGSIterations,
+        min(getattr(params, "cgsBurnIn", 0),
+            max(params.maxCGSIterations - 1, 0)),
+    )
+    program = _group_fdr_program(
+        A, K, W, F, M, n_per, path, refine, params.optimizeQ,
+        params.maxEMIterations, cgs_statics, params.ss, sampled,
+        neg_pad_len, params.sOrder, n_neg_gather,
+        n_pos_true, n_neg_true, 100_000,
+    )
+    out = program(inp)
+
+    pos_z = np.asarray(out["pos_z"])  # [F, M, n_per]
+    neg_z = np.asarray(out["neg_z"])
+    sw = tuple(np.asarray(s) for s in out["sw"])
+
+    m_fold_eff = (
+        max(params.mFold, 1) if sampled else neg_set.n / max(sset.n, 1)
+    )
+    results = []
+    for m in range(M):
+        pz = np.concatenate(
+            [pos_z[f, m, : int(fold_sizes[f])] for f in range(F)]
+        )
+        nz = np.concatenate(
+            [neg_z[f, m, : neg_real_rows[f]] for f in range(F)]
+        )
+        results.append(FDRResult(
+            zoops=prcurve.threshold_sweep(pz, nz, m_fold_eff),
+            mops=_mops_from_ranks(sw, m, m_fold_eff, n_pos_true, n_neg_true),
+            pos_pvalues=empirical_pvalues(pz, nz),
+            m_fold=params.mFold,
+        ))
+    return results
+
+
 def evaluate_motif(
     seed_motif: Motif,
     bg: BackgroundModel,

@@ -38,6 +38,8 @@ def threshold_sweep_device(
     """
     import jax.numpy as jnp
 
+    if pos_dev.size + neg_dev.size >= 2**31:
+        raise ValueError("pooled window count exceeds int32 rank range")
     pool = jnp.concatenate([
         jnp.asarray(pos_dev, jnp.float32).ravel(),
         jnp.asarray(neg_dev, jnp.float32).ravel(),
@@ -45,25 +47,28 @@ def threshold_sweep_device(
     is_pos = jnp.concatenate([
         jnp.ones(pos_dev.size, jnp.int32), jnp.zeros(neg_dev.size, jnp.int32)
     ])
-    # pads are -inf: give positive pads a tiebreak BELOW negative pads so
-    # every pad lands past the n_pos + n_neg frontier deterministically
+    # pads are -inf, below any real (finite) score, so every pad sorts past
+    # the n_pos + n_neg frontier regardless of within-tie order; the rows
+    # fetched below all index before that frontier
     order = jnp.argsort(-pool, stable=True)
     pool_s = pool[order]
     is_pos_s = is_pos[order]
-    tp = jnp.cumsum(is_pos_s, dtype=jnp.int64)
-    fp_cnt = jnp.cumsum(1 - is_pos_s, dtype=jnp.int64)
+    # ranks stay int32 ON DEVICE (exact; pool < 2^31) — the f64 sweep math
+    # runs on the host from the thinned integer ranks, because requesting
+    # int64/f64 here silently truncates to int32/f32 under the default
+    # x64-disabled config and f32 ranks quantize past 2^24 pooled windows
+    tp_dev = jnp.cumsum(is_pos_s, dtype=jnp.int32)
+    fp_dev = jnp.cumsum(1 - is_pos_s, dtype=jnp.int32)
 
     n = n_pos + n_neg
     neg_sorted = jnp.sort(jnp.asarray(neg_dev, jnp.float32).ravel())
     pad_neg = neg_sorted.size - n_neg  # -inf pads sort FIRST ascending
-    lo = jnp.searchsorted(neg_sorted, pool_s, side="left") - pad_neg
-    hi = jnp.searchsorted(neg_sorted, pool_s, side="right") - pad_neg
-    lo = jnp.clip(lo, 0, n_neg)
-    hi = jnp.clip(hi, 0, n_neg)
-    frac = jnp.where(hi > lo, 0.5 * (lo + hi), lo).astype(jnp.float64)
-    pv = jnp.clip(
-        (n_neg - frac + 1.0) / (n_neg + 1.0), 1.0 / (n_neg + 1.0), 1.0
-    )
+    lo_dev = jnp.clip(
+        jnp.searchsorted(neg_sorted, pool_s, side="left") - pad_neg, 0, n_neg
+    ).astype(jnp.int32)
+    hi_dev = jnp.clip(
+        jnp.searchsorted(neg_sorted, pool_s, side="right") - pad_neg, 0, n_neg
+    ).astype(jnp.int32)
 
     rows = (
         np.unique(np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64))
@@ -72,15 +77,24 @@ def threshold_sweep_device(
     )
     rows_d = jnp.asarray(rows)
     m = m_fold if m_fold > 0 else 1
-    tp_h = np.asarray(tp[rows_d], np.float64)
-    fp_h = np.asarray(fp_cnt[rows_d], np.float64) / m
+    tp_h = np.asarray(tp_dev[rows_d], np.float64)
+    fp_h = np.asarray(fp_dev[rows_d], np.float64) / m
+    lo = np.asarray(lo_dev[rows_d], np.float64)
+    hi = np.asarray(hi_dev[rows_d], np.float64)
+    frac = np.where(hi > lo, 0.5 * (lo + hi), lo)
+    if n_neg > 0:
+        pv = np.clip(
+            (n_neg - frac + 1.0) / (n_neg + 1.0), 1.0 / (n_neg + 1.0), 1.0
+        )
+    else:
+        pv = np.ones_like(frac)
     out = {
         "score": np.asarray(pool_s[rows_d], np.float64),
         "tp": tp_h,
         "fp": fp_h,
         "precision": tp_h / np.maximum(tp_h + fp_h, 1e-30),
         "recall": tp_h / max(n_pos, 1),
-        "pvalue": np.asarray(pv[rows_d], np.float64),
+        "pvalue": pv,
     }
     return out
 

@@ -709,10 +709,23 @@ def counts_from_r_multi(
 
     Returns C: f32 [M, R+1, W].  One kernel counts every seed — the M
     responsibility planes ride the counts matmul's output rows against
-    one shared one-hot per sequence row (cf. em_counts_multi).
+    one shared one-hot per sequence row (cf. em_counts_multi).  Groups
+    beyond the VMEM-bounded ``max_seeds`` split into balanced chunks
+    (the stacked transients grow linearly in M, x Qhi at high K).
     """
     M = r_msnl.shape[0]
     S, N, L = cidx.shape
+    Mc = max_seeds(K, W, A=A, S=S, L=L)
+    if M > Mc:
+        n_chunks = -(-M // Mc)
+        size = -(-M // n_chunks)
+        return jnp.concatenate([
+            counts_from_r_multi(
+                r_msnl[i0 : i0 + size], cidx,
+                A=A, K=K, W=W, R=R, interpret=interpret,
+            )
+            for i0 in range(0, M, size)
+        ])
     g = _geometry(A, K, W, S, L, M)
     qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
     Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]
@@ -851,6 +864,21 @@ def window_scores_multi(
 
     M = s_flat.shape[0]
     S, N, L = cidx.shape
+    Mc = max_seeds(K, W, A=A, S=S, L=L)
+    if M > Mc:
+        # balanced VMEM-bounded seed chunks (cf. em_counts_multi callers):
+        # the term-stacked LUT and per-term transients grow linearly in M
+        # (x Qhi at high K) and would blow VMEM for large scan groups
+        n_chunks = -(-M // Mc)
+        size = -(-M // n_chunks)
+        parts = [
+            window_scores_multi(
+                s_flat[i0 : i0 + size], cidx, lens,
+                A=A, K=K, W=W, interpret=interpret,
+            )
+            for i0 in range(0, M, size)
+        ]
+        return jnp.concatenate([p[0] for p in parts]), parts[0][1]
     g = _geometry(A, K, W, S, L, M)
     qblk, _, _, pad, n_blocks = _prep(cidx, None, g)
     Qhi, QloP, Wp, SLp, B = g["Qhi"], g["QloP"], g["Wp"], g["SLp"], g["B"]

@@ -228,6 +228,50 @@ def _pallas_batched_step(A: int, K: int, W: int, optimize_q: bool,
     return step
 
 
+def make_batched_step(A: int, K: int, W: int, optimize_q: bool, path: str,
+                      mesh=None):
+    """The one-batched-EM-iteration callable for a seed-stacked group.
+
+    Shared by run_em_multi's convergence loop and the fused FDR group
+    program (evaluation.fdr.evaluate_motifs): (v, q, data, alphas, f_bg,
+    n_real) -> (v_new, q_new, ll, v_diff), everything carrying a leading
+    seed axis M.
+    """
+    if path.startswith("pallas_shard"):
+        return _pallas_batched_step(
+            A, K, W, optimize_q, mesh, interpret=path.endswith("interpret")
+        )
+    if path.startswith("pallas"):
+        return _pallas_batched_step(
+            A, K, W, optimize_q, mesh=None,
+            interpret=path.endswith("interpret"),
+        )
+
+    def batched(v, q, data, alphas, f_bg, n_real):
+        # static unrolled loop over seeds, NOT vmap (the Pallas batching
+        # rule costs ~15x on TPU; on the gather path unrolling lets XLA
+        # fuse the per-seed programs freely)
+        M = q.shape[0]
+        outs = [
+            em_step(
+                tuple(vk[m] for vk in v), q[m], data, alphas[m], f_bg,
+                n_real,
+                A=A, K=K, W=W, optimize_q=optimize_q, path=path,
+                mesh=mesh,
+            )
+            for m in range(M)
+        ]
+        v2 = tuple(
+            jnp.stack([o[0][k] for o in outs]) for k in range(len(v))
+        )
+        q2 = jnp.stack([o[1] for o in outs])
+        ll = jnp.stack([o[2] for o in outs])
+        vd = jnp.stack([o[3] for o in outs])
+        return v2, q2, ll, vd
+
+    return batched
+
+
 @functools.lru_cache(maxsize=64)
 def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
                       max_iters: int, mesh=None):
@@ -245,36 +289,7 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
     or the cap is hit — only then does anything return to host.
     """
 
-    if path.startswith("pallas_shard"):
-        batched = _pallas_batched_step(
-            A, K, W, optimize_q, mesh, interpret=path.endswith("interpret")
-        )
-    elif path.startswith("pallas"):
-        batched = _pallas_batched_step(
-            A, K, W, optimize_q, mesh=None,
-            interpret=path.endswith("interpret"),
-        )
-    else:
-
-        def batched(v, q, data, alphas, f_bg, n_real):
-            # static unrolled loop over seeds, NOT vmap (see per_shard note)
-            M = q.shape[0]
-            outs = [
-                em_step(
-                    tuple(vk[m] for vk in v), q[m], data, alphas[m], f_bg,
-                    n_real,
-                    A=A, K=K, W=W, optimize_q=optimize_q, path=path,
-                    mesh=mesh,
-                )
-                for m in range(M)
-            ]
-            v2 = tuple(
-                jnp.stack([o[0][k] for o in outs]) for k in range(len(v))
-            )
-            q2 = jnp.stack([o[1] for o in outs])
-            ll = jnp.stack([o[2] for o in outs])
-            vd = jnp.stack([o[3] for o in outs])
-            return v2, q2, ll, vd
+    batched = make_batched_step(A, K, W, optimize_q, path, mesh)
 
     @jax.jit
     def loop(v, q, data, alphas, f_bg, n_real, epsilon):

@@ -191,10 +191,9 @@ def score_set_multi(
     ``ScoreSeqSet::calcLogOdds`` loop.  Returns a list of ScanResult
     aligned with ``motifs``.
 
-    Streaming caveat: when the retained-chunk budget is exceeded, each
-    result's ``iter_chunks`` re-scores ALL M motifs per chunk — iterate
-    motifs in the outer loop only for retained (small) sets, or chunk by
-    chunk for genome-scale ones.
+    When the retained-chunk budget is exceeded, each result's
+    ``iter_chunks`` re-scores its own motif with a single-motif scorer
+    (one extra pass per consumed result, never M per chunk).
     """
     M = len(motifs)
     score = _chunk_scorer_multi(motifs, bg, ss)
@@ -222,9 +221,18 @@ def score_set_multi(
                 chunks[i].append((row0, sc[i], m))
 
     def make_rescan(i):
+        # streamed (non-retained) sets re-score with a SINGLE-motif scorer:
+        # rescoring all M per chunk would make the CLI's per-motif
+        # occurrence loop O(M^2) scoring passes at exactly the genome
+        # scale streaming targets (advisor r4 finding)
         def rescan():
-            for row0, sc, m in chunk_iter():
-                yield row0, sc[i], m
+            solo = _chunk_scorer_multi([motifs[i]], bg, ss)
+            for start in range(0, sset.n, batch):
+                sub = sset.subset(
+                    np.arange(start, min(start + batch, sset.n))
+                )
+                sc, m = solo(sub)
+                yield start, sc[0], m
 
         return rescan
 
@@ -343,7 +351,13 @@ def find_occurrences(
             continue
         flat = jnp.nonzero(hitmask, size=n_hits)[0]
         hit_scores = np.asarray(sc.ravel()[flat])
-        hit_pv = np.asarray(pv_dev.ravel()[flat])
+        # reported p-values: f64 host math from the exact int32 ranks —
+        # the on-device f32 frac quantizes past 2^24 pooled negatives
+        # (fine for thresholding, not for the written deep-tail values)
+        lo_h = np.asarray(lo.ravel()[flat], np.float64)
+        hi_h = np.asarray(hi.ravel()[flat], np.float64)
+        frac_h = np.where(hi_h > lo_h, 0.5 * (lo_h + hi_h), lo_h)
+        hit_pv = np.clip((M - frac_h + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
         s_i, n_i, i_i = np.unravel_index(np.asarray(flat), (S, n, n_win))
 
         for s, nn, i, score, p in zip(s_i, n_i, i_i, hit_scores, hit_pv):

@@ -412,3 +412,125 @@ class TestDeviceSweep:
             assert a.pvalue == pytest.approx(b.pvalue, rel=1e-6)
             assert a.evalue == pytest.approx(b.evalue, rel=1e-6)
         assert len(o_host) > 0
+
+
+class TestFusedFDR:
+    """evaluate_motifs: the whole k-fold FDR of a seed group as ONE device
+    program (fold scan + seed-stacked refinement + in-program negative
+    sampling + device MOPS sweep) must reproduce the per-seed
+    evaluate_motif path exactly."""
+
+    @staticmethod
+    def _seeds(sset, specs):
+        return [
+            seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(s, soft=0.6), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+            for s in specs
+        ]
+
+    def _assert_parity(self, ref, new):
+        for i, (r, n) in enumerate(zip(ref, new)):
+            assert r.m_fold == n.m_fold
+            np.testing.assert_allclose(
+                r.pos_pvalues, n.pos_pvalues, rtol=1e-5, atol=1e-8,
+                err_msg=f"pos_pvalues motif {i}",
+            )
+            for k in ("score", "tp", "fp", "precision", "recall", "pvalue"):
+                np.testing.assert_allclose(
+                    r.zoops[k], n.zoops[k], rtol=1e-4, atol=1e-6,
+                    err_msg=f"zoops {k} motif {i}",
+                )
+                np.testing.assert_allclose(
+                    r.mops[k], n.mops[k], rtol=1e-5, atol=1e-7,
+                    err_msg=f"mops {k} motif {i}",
+                )
+
+    def test_matches_per_seed_em_sampled(self, trained):
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+
+        sset, bg, _ = trained
+        params = Params(
+            FDR=True, cvFold=3, mFold=2, q=0.5, maxEMIterations=15,
+            use_pallas=False,
+        )
+        specs = [MOTIF, "TGACTCAG", "ACGTACGT"]
+        ref = [
+            evaluate_motif(m, bg, sset, params)
+            for m in self._seeds(sset, specs)
+        ]
+        new = evaluate_motifs(self._seeds(sset, specs), bg, sset, params)
+        self._assert_parity(ref, new)
+
+    def test_matches_per_seed_user_negatives(self, trained):
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+
+        sset, bg, _ = trained
+        neg = planted_set(n=100, l=80, motif="ACGTACGT", q=0.0, noise=1.0)
+        params = Params(
+            FDR=True, cvFold=3, mFold=2, q=0.5, maxEMIterations=10,
+            use_pallas=False,
+        )
+        specs = [MOTIF, "ACGTACGT"]
+        ref = [
+            evaluate_motif(m, bg, sset, params, neg_set=neg)
+            for m in self._seeds(sset, specs)
+        ]
+        new = evaluate_motifs(
+            self._seeds(sset, specs), bg, sset, params, neg_set=neg
+        )
+        self._assert_parity(ref, new)
+
+    def test_matches_per_seed_cgs(self, trained):
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+
+        sset, bg, _ = trained
+        params = Params(
+            FDR=True, CGS=True, cvFold=2, mFold=2, q=0.5,
+            maxCGSIterations=6, cgsBurnIn=2, use_pallas=False,
+        )
+        specs = [MOTIF, "ACGTACGT"]
+        ref = [
+            evaluate_motif(m, bg, sset, params)
+            for m in self._seeds(sset, specs)
+        ]
+        new = evaluate_motifs(self._seeds(sset, specs), bg, sset, params)
+        self._assert_parity(ref, new)
+
+    def test_one_program_per_group_not_per_seed(self, trained, monkeypatch):
+        """The fused path never touches the per-seed EM/scoring machinery:
+        all cvFold x seeds refinements run inside ONE compiled program per
+        (W, K) group (round-4 verdict item #1's 'done' criterion)."""
+        from bammmotif2_tpu.evaluation import fdr as fdr_mod
+
+        sset, bg, _ = trained
+        params = Params(
+            FDR=True, cvFold=3, mFold=2, q=0.5, maxEMIterations=10,
+            use_pallas=False,
+        )
+
+        def boom(*a, **k):
+            raise AssertionError("per-seed machinery used in fused path")
+
+        monkeypatch.setattr(fdr_mod, "run_em", boom)
+        monkeypatch.setattr(fdr_mod, "_fold_scores", boom)
+        fdr_mod._group_fdr_program.cache_clear()
+        specs = [MOTIF, "TGACTCAG", "ACGTACGT"]
+        res = fdr_mod.evaluate_motifs(
+            self._seeds(sset, specs), bg, sset, params
+        )
+        assert len(res) == 3 and all(r is not None for r in res)
+        # one fused program serves the whole (W=8, K=2) group
+        assert fdr_mod._group_fdr_program.cache_info().currsize == 1
+
+    def test_cvfold1_falls_back(self, trained):
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+
+        sset, bg, _ = trained
+        params = Params(
+            FDR=True, cvFold=1, mFold=2, q=0.5, maxEMIterations=5,
+            use_pallas=False,
+        )
+        res = evaluate_motifs(self._seeds(sset, [MOTIF]), bg, sset, params)
+        assert len(res) == 1 and res[0].zoops["score"].size > 0

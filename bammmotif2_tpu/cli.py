@@ -297,10 +297,12 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
                 * (1 if params.ss else 2),
             )
             if params.saveLogOdds:
+                # per-WINDOW log-odds rows, chunk-streamed (the per-seq
+                # ZOOPS maxima are a different statistic; scan.write_logodds)
                 lo_path = os.path.join(
                     params.outputDirectory, f"{basename}_{m.name}.logOdds"
                 )
-                np.savetxt(lo_path, res.max_scores, fmt="%.6g")
+                scan.write_logodds(lo_path, res, pos_set)
                 out["files"].append(lo_path)
 
     if params.FDR:

@@ -34,6 +34,10 @@ from bammmotif2_tpu.ops import encode
 from bammmotif2_tpu.utils.config import Params
 from bammmotif2_tpu.utils.fasta import SequenceSet
 
+# ll-trace slots carried in the batched convergence loop (a [HIST_CAP, M]
+# f32 buffer costs ~2 KB at M=2 — negligible against the count tensors)
+HIST_CAP = 256
+
 
 def run_em_multi(
     motifs: list,
@@ -100,16 +104,19 @@ def run_em_multi(
             q = mesh_mod._put(q, seed_sh)
             alphas = mesh_mod._put(alphas, seed_sh)
 
-        loop = _batched_optimize(A, K, W, params.optimizeQ, path,
-                                 params.maxEMIterations, mesh=mesh)
+        loop, hist_stride = _batched_optimize(
+            A, K, W, params.optimizeQ, path,
+            params.maxEMIterations, mesh=mesh,
+        )
         n_win = n_win_1
         t0 = time.perf_counter()
         nr = jnp.asarray(n_real, jnp.float32)
-        v, q, lls, vds, its = loop(
+        v, q, lls, vds, its, hist = loop(
             v, q, data, alphas, f_bg, nr, jnp.float32(params.epsilon)
         )
         jax.block_until_ready(lls)
         seconds = time.perf_counter() - t0
+        hist_np = np.asarray(hist)  # [n_slots, M], nan past each seed's end
 
         # Per-seed timing attribution: the group is ONE device program, so
         # only the group wall-clock is observable.  Each member is charged
@@ -117,19 +124,21 @@ def run_em_multi(
         # windows_per_sec then equals the group's aggregate useful
         # throughput n_win * sum(its) / seconds — the honest per-program
         # number (do NOT sum windows_per_sec over members).  group_seconds
-        # carries the raw wall-clock for aggregate math.  ll_history holds
-        # only the final ll: the batched loop is one device program with no
-        # per-iteration host syncs (use run_em with verbose for a trace).
+        # carries the raw wall-clock for aggregate math.  ll_history is
+        # the device-side trace buffer: one entry per ``hist_stride``
+        # iterations (stride 1 while maxEMIterations <= HIST_CAP), ending
+        # with the seed's final ll.
         total_its = max(int(jnp.sum(its[: len(idxs)])), 1)
         for gi, i in enumerate(idxs):
             motifs[i].v = [np.asarray(v[k][gi], np.float64) for k in range(K + 1)]
+            n_rec = -(-int(its[gi]) // hist_stride)
             results[i] = EMResult(
                 iterations=int(its[gi]),
                 ll=float(lls[gi]),
                 q=float(q[gi]),
                 v_diff=float(vds[gi]),
                 converged=float(vds[gi]) < params.epsilon,
-                ll_history=[float(lls[gi])],
+                ll_history=[float(x) for x in hist_np[:n_rec, gi]],
                 seconds=seconds * int(its[gi]) / total_its,
                 windows_scored=n_win * int(its[gi]),
                 group_seconds=seconds,
@@ -291,16 +300,23 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
 
     batched = make_batched_step(A, K, W, optimize_q, path, mesh)
 
+    # convergence-trace buffer: lls at every ``stride``-th iteration land
+    # in a fixed [HIST_CAP, M] carry slot (slot = it // stride, last write
+    # wins), so --jsonl keeps a real per-seed ll history in the batched
+    # production path without any per-iteration host syncs
+    stride = max(1, -(-max_iters // HIST_CAP))
+    n_slots = -(-max_iters // stride)
+
     @jax.jit
     def loop(v, q, data, alphas, f_bg, n_real, epsilon):
         M = q.shape[0]
 
         def cond(state):
-            v, q, lls, vds, its = state
+            v, q, lls, vds, its, hist = state
             return (jnp.max(its) < max_iters) & (jnp.max(vds) >= epsilon)
 
         def body(state):
-            v, q, lls, vds, its = state
+            v, q, lls, vds, its, hist = state
             active = vds >= epsilon
             v2, q2, ll2, vd2 = batched(v, q, data, alphas, f_bg, n_real)
             vd_eff = jnp.minimum(vd2, jnp.abs(ll2 - lls))
@@ -310,12 +326,17 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
                 return jnp.where(active[ax], new, old)
 
             v = tuple(keep(a, b) for a, b in zip(v2, v))
+            slot = jnp.minimum(its // stride, n_slots - 1)
+            hist = hist.at[slot, jnp.arange(M)].set(
+                jnp.where(active, ll2, hist[slot, jnp.arange(M)])
+            )
             return (
                 v,
                 jnp.where(active, q2, q),
                 jnp.where(active, ll2, lls),
                 jnp.where(active, vd_eff, vds),
                 its + active.astype(jnp.int32),
+                hist,
             )
 
         state = (
@@ -323,7 +344,8 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
             jnp.full((M,), -jnp.inf, jnp.float32),
             jnp.full((M,), jnp.inf, jnp.float32),
             jnp.zeros((M,), jnp.int32),
+            jnp.full((n_slots, M), jnp.nan, jnp.float32),
         )
         return jax.lax.while_loop(cond, body, state)
 
-    return loop
+    return loop, stride

@@ -22,15 +22,17 @@ adjacent negative scores; e-value = p * (#windows scanned in the dataset).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from bammmotif2_tpu.models.background import BackgroundModel
 from bammmotif2_tpu.models.motif import Motif, log_odds_lut
 from bammmotif2_tpu.ops import encode, escore
-from bammmotif2_tpu.utils.fasta import SequenceSet
+from bammmotif2_tpu.utils.fasta import PAD, SequenceSet
 
 # retain chunk score tensors on device only below this total (bytes);
 # larger sets stream (re-score on demand) so HBM stays chunk-bounded
@@ -47,6 +49,10 @@ class ScanResult:
     and hit rows cross to the host.  ``iter_chunks`` yields
     ``(row0, scores_dev [S, n, n_win], mask_dev [n, n_win])`` — from the
     retained tensors for small sets, by re-scoring for large ones.
+
+    Results from one ``score_set_multi`` group SHARE the retained stacked
+    [M, S, n, n_win] chunk tensors (``_mi`` selects this result's seed
+    plane lazily) — one device copy per group instead of M.
     """
 
     max_scores: np.ndarray  # [N] best window per sequence (ZOOPS statistic)
@@ -54,10 +60,12 @@ class ScanResult:
     W: int
     _chunks: list | None = None     # retained (row0, scores, mask) triples
     _rescan: object = None          # () -> iterator of (row0, scores, mask)
+    _mi: int | None = None          # seed index into shared stacked chunks
 
     def iter_chunks(self):
         if self._chunks is not None:
-            yield from self._chunks
+            for row0, sc, mk in self._chunks:
+                yield row0, (sc if self._mi is None else sc[self._mi]), mk
         else:
             yield from self._rescan()
 
@@ -126,53 +134,93 @@ class ScanResult:
         return pool, self.n_windows
 
 
-def _chunk_scorer_multi(motifs: list, bg: BackgroundModel, ss: bool):
-    """Returns (SequenceSet subset) -> (scores_dev [M, S, n, n_win], mask).
-
-    All motifs must share (W, K, A).  On TPU the M LUTs go through ONE
-    seed-stacked Pallas kernel per chunk (pallas_em.window_scores_multi —
-    every motif shares each one-hot), the stacked form of the reference
-    driver's per-motif ScoreSeqSet::calcLogOdds loop."""
-    import jax
-
+def _stacked_luts(motifs: list, bg: BackgroundModel) -> jnp.ndarray:
+    """[M, R+1, W] combined log-odds LUTs for a (W, K, A) group."""
     K, W, A = motifs[0].K, motifs[0].W, motifs[0].A
     assert all((m.K, m.W, m.A) == (K, W, A) for m in motifs)
     bg_flat = jnp.asarray(bg.conditional_flat(K), jnp.float32)
-    s_flat = jnp.stack([
+    return jnp.stack([
         log_odds_lut(tuple(jnp.asarray(v, jnp.float32) for v in m.v), bg_flat)
         for m in motifs
     ])
-    use_pallas = False
-    if jax.default_backend() == "tpu":
+
+
+def _use_pallas(K: int, A: int) -> bool:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    from bammmotif2_tpu.ops import pallas_em
+
+    return pallas_em.supported(K, A)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("A", "K", "W", "B", "ss", "use_pallas")
+)
+def _score_chunk_device(
+    s_flat, codes, lens, comp_table, start,
+    *, A: int, K: int, W: int, B: int, ss: bool, use_pallas: bool,
+):
+    """Score one B-row chunk of a DEVICE-RESIDENT code tensor, one program.
+
+    Row slice, reverse complement, combined k-mer encoding
+    (encode.combined_kmer_index), the seed-stacked window-score kernel,
+    and the per-chunk reductions (ZOOPS maxima + valid-window count) all
+    fuse into this single jitted program — the per-chunk host work of the
+    round-4 scanner (SequenceSet.subset numpy slicing + host-side
+    strand_indices + re-upload) made a genome-scale scan encode-bound at
+    <2% kernel share.  ``start`` is dynamic: every chunk reuses one
+    compiled program.
+
+    Returns (scores [M, S, B, n_win], mask [B, n_win], maxima [M, B],
+    valid-window count).
+    """
+    L = codes.shape[1]
+    codes_c = jax.lax.dynamic_slice(codes, (start, 0), (B, L))
+    lens_c = jax.lax.dynamic_slice(lens, (start,), (B,))
+    strands = [codes_c]
+    if not ss:
+        strands.append(
+            encode.revcomp_codes_device(codes_c, lens_c, comp_table)
+        )
+    cidx = jnp.stack(
+        [encode.combined_kmer_index(c, A, K) for c in strands]
+    )
+    if use_pallas:
         from bammmotif2_tpu.ops import pallas_em
 
-        use_pallas = pallas_em.supported(K, A)
-
-    def score(sub: SequenceSet):
-        cidx, lens = encode.strand_indices(sub, K, ss)
-        if use_pallas:
-            from bammmotif2_tpu.ops import pallas_em
-
-            return pallas_em.window_scores_multi(
-                s_flat, cidx, lens, A=A, K=K, W=W
-            )
-        scores, masks = jax.vmap(
-            lambda sf: escore.window_scores(sf, cidx, lens, W)
+        sc, mk = pallas_em.window_scores_multi(
+            s_flat, cidx, lens_c, A=A, K=K, W=W
+        )
+    else:
+        sc, mks = jax.vmap(
+            lambda sf: escore.window_scores(sf, cidx, lens_c, W)
         )(s_flat)
-        return scores, masks[0]
+        mk = mks[0]
+    return sc, mk, jnp.max(sc, axis=(1, 3)), jnp.sum(mk)
 
-    return score
 
+def _device_codes(sset: SequenceSet, B: int):
+    """Upload the set's codes ONCE, padded to a whole number of B-chunks.
 
-def _chunk_scorer(motif: Motif, bg: BackgroundModel, ss: bool):
-    """Returns a function (SequenceSet subset) -> (scores_dev, mask_dev)."""
-    multi = _chunk_scorer_multi([motif], bg, ss)
-
-    def score(sub: SequenceSet):
-        scores, mask = multi(sub)
-        return scores[0], mask
-
-    return score
+    Returns (codes_dev [N_pad, L], lens_dev [N_pad], comp_table_dev,
+    n_chunks).  Pad rows are PAD codes with length 0: they score NEG_INF,
+    mask False, and count nothing.
+    """
+    N = sset.n
+    L = sset.codes.shape[1] if N else 0
+    n_chunks = -(-N // B) if N else 0
+    pad = n_chunks * B - N
+    codes = np.pad(sset.codes, ((0, pad), (0, 0)), constant_values=PAD)
+    lens = np.pad(sset.lens.astype(np.int32), (0, pad))
+    table = np.array(
+        [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
+        dtype=np.int8,
+    )
+    return (
+        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(table), n_chunks
+    )
 
 
 def score_set_multi(
@@ -191,48 +239,65 @@ def score_set_multi(
     ``ScoreSeqSet::calcLogOdds`` loop.  Returns a list of ScanResult
     aligned with ``motifs``.
 
-    When the retained-chunk budget is exceeded, each result's
-    ``iter_chunks`` re-scores its own motif with a single-motif scorer
-    (one extra pass per consumed result, never M per chunk).
+    Codes upload ONCE and stay device-resident: slicing, reverse
+    complement, k-mer encoding, scoring, and the per-chunk reductions all
+    run inside one compiled program per chunk (_score_chunk_device), and
+    every chunk program dispatches asynchronously before the single
+    maxima fetch — the scanner's host work is O(n_chunks) dispatches
+    regardless of N.  When the retained-chunk budget is exceeded, each
+    result's ``iter_chunks`` re-scores its own seed plane with an M=1
+    pass (never all M per chunk).
     """
     M = len(motifs)
-    score = _chunk_scorer_multi(motifs, bg, ss)
+    K, W, A = motifs[0].K, motifs[0].W, motifs[0].A
+    s_flat = _stacked_luts(motifs, bg)
+    use_pallas = _use_pallas(K, A)
     S = 1 if ss else 2
-    W = motifs[0].W
+    N = sset.n
     n_win_est = max(int(sset.lens.max(initial=0)) - W + 1, 1)
-    retain = 4 * M * S * sset.n * n_win_est <= keep_bytes
+    retain = 4 * M * S * N * n_win_est <= keep_bytes
 
-    def chunk_iter():
-        for start in range(0, sset.n, batch):
-            sub = sset.subset(np.arange(start, min(start + batch, sset.n)))
-            sc, m = score(sub)  # sc [M, S, n, n_win]
-            yield start, sc, m
+    B = max(1, min(batch, N)) if N else 1
+    codes_dev, lens_dev, comp_dev, n_chunks = _device_codes(sset, B)
+    statics = dict(A=A, K=K, W=W, B=B, ss=ss, use_pallas=use_pallas)
 
-    max_scores = np.empty((M, sset.n), np.float32)
-    n_valid = 0
-    chunks: list | None = [[] for _ in range(M)] if retain else None
-    for row0, sc, m in chunk_iter():
-        n = sc.shape[2]
-        # per-chunk on-device reductions; only [M, n] floats + 1 int cross
-        max_scores[:, row0 : row0 + n] = np.asarray(jnp.max(sc, axis=(1, 3)))
-        n_valid += int(m.sum()) * sc.shape[1]
+    chunks: list | None = [] if retain else None
+    mxs, cnts = [], []
+    for ci in range(n_chunks):
+        sc, mk, mx, cnt = _score_chunk_device(
+            s_flat, codes_dev, lens_dev, comp_dev, ci * B, **statics
+        )
+        n = min(B, N - ci * B)
         if retain:
-            for i in range(M):
-                chunks[i].append((row0, sc[i], m))
+            if n < B:
+                sc, mk = sc[:, :, :n], mk[:n]
+            chunks.append((ci * B, sc, mk))
+        mxs.append(mx[:, :n] if n < B else mx)
+        cnts.append(cnt)
+    if n_chunks:
+        max_scores = np.asarray(jnp.concatenate(mxs, axis=1))
+        n_valid = int(np.asarray(jnp.stack(cnts)).sum()) * S
+    else:
+        max_scores = np.zeros((M, 0), np.float32)
+        n_valid = 0
 
     def make_rescan(i):
-        # streamed (non-retained) sets re-score with a SINGLE-motif scorer:
-        # rescoring all M per chunk would make the CLI's per-motif
-        # occurrence loop O(M^2) scoring passes at exactly the genome
-        # scale streaming targets (advisor r4 finding)
+        # streamed (non-retained) sets re-score ONLY seed i per chunk:
+        # all-M rescans would make the CLI's per-motif occurrence loop
+        # O(M^2) scoring passes at exactly the genome scale streaming
+        # targets (advisor r4 finding)
+        solo_statics = dict(statics)
+
         def rescan():
-            solo = _chunk_scorer_multi([motifs[i]], bg, ss)
-            for start in range(0, sset.n, batch):
-                sub = sset.subset(
-                    np.arange(start, min(start + batch, sset.n))
+            sf = s_flat[i : i + 1]
+            for ci in range(n_chunks):
+                sc, mk, _mx, _cnt = _score_chunk_device(
+                    sf, codes_dev, lens_dev, comp_dev, ci * B, **solo_statics
                 )
-                sc, m = solo(sub)
-                yield start, sc[0], m
+                n = min(B, N - ci * B)
+                if n < B:
+                    sc, mk = sc[:, :, :n], mk[:n]
+                yield ci * B, sc[0], mk
 
         return rescan
 
@@ -241,8 +306,9 @@ def score_set_multi(
             max_scores=max_scores[i],
             n_windows=n_valid,
             W=W,
-            _chunks=chunks[i] if retain else None,
+            _chunks=chunks if retain else None,
             _rescan=make_rescan(i) if not retain else None,
+            _mi=i if retain else None,
         )
         for i in range(M)
     ]
@@ -387,6 +453,48 @@ def find_occurrences(
             )
     occs.sort(key=lambda o: (o.seq_idx, o.start, o.strand))
     return occs
+
+
+def write_logodds(
+    path: str | os.PathLike, scan: ScanResult, sset: SequenceSet
+) -> int:
+    """Per-window log-odds dump (``--saveLogOdds`` → <basename>.logOdds).
+
+    One TSV row per VALID window: sequence header, strand, 1-based
+    forward-coordinate start, log-odds score.  Streams chunk by chunk
+    (device arrays fetched one chunk at a time, rows formatted in bulk),
+    so genome-scale dumps stay memory-bounded.  Pinned deviation
+    (SURVEY.md 2 Global row, ``ScoreSeqSet::write`` reconstruction): the
+    reference's exact .logOdds layout is unverified — per-window rows
+    carry strictly more information than per-sequence maxima and are on
+    the golden-harness compare list (tools/golden_harness.py).
+
+    Returns the number of window rows written.
+    """
+    W = scan.W
+    n_rows = 0
+    with open(path, "w") as fh:
+        fh.write("header\tstrand\tstart\tscore\n")
+        for row0, sc, mask in scan.iter_chunks():
+            sc_h = np.asarray(sc)          # [S, n, n_win]
+            mk_h = np.asarray(mask)        # [n, n_win]
+            S, n, n_win = sc_h.shape
+            for s in range(S):
+                ni, wi = np.nonzero(mk_h)
+                if ni.size == 0:
+                    continue
+                scores = sc_h[s, ni, wi]
+                lens_r = sset.lens[row0 + ni]
+                starts = wi if s == 0 else lens_r - W - wi
+                heads = np.asarray(sset.headers, object)[row0 + ni]
+                strand = "+" if s == 0 else "-"
+                lines = [
+                    f"{h}\t{strand}\t{int(st) + 1}\t{sc:.6g}\n"
+                    for h, st, sc in zip(heads, starts, scores)
+                ]
+                fh.writelines(lines)
+                n_rows += len(lines)
+    return n_rows
 
 
 def write_occurrences(path: str | os.PathLike, occs: list) -> None:

@@ -260,10 +260,10 @@ class TestSeedStackedKernel:
 
         outs = {}
         for path in ("gather", "pallas_interpret"):
-            loop = _batched_optimize(4, K, W, True, path, 5, mesh=None)
+            loop, _ = _batched_optimize(4, K, W, True, path, 5, mesh=None)
             outs[path] = loop(v, q, data, alphas, f_bg, nr, eps)
-        vg, qg, llg, _, itg = outs["gather"]
-        vp, qp, llp, _, itp = outs["pallas_interpret"]
+        vg, qg, llg, _, itg, _h = outs["gather"]
+        vp, qp, llp, _, itp, _h2 = outs["pallas_interpret"]
         np.testing.assert_array_equal(np.asarray(itg), np.asarray(itp))
         np.testing.assert_allclose(np.asarray(qg), np.asarray(qp), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(llg), np.asarray(llp), rtol=1e-5)

@@ -199,3 +199,30 @@ class TestShardedPallas:
         np.testing.assert_allclose(float(qg), float(qp), rtol=1e-5)
         for a, b in zip(vg, vp):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestBatchedLLHistory:
+    def test_history_matches_solo_trace(self, planted):
+        """The batched loop's device-side ll trace buffer must reproduce
+        the solo per-iteration trace (stride 1 while maxEMIterations <=
+        HIST_CAP) — --jsonl convergence traces survive the production
+        (batched) path."""
+        sset, bg = planted
+        params = Params(EM=True, q=0.5, maxEMIterations=12, use_pallas=False)
+        seeds = [seed_motif(sset, soft=s) for s in (0.55, 0.75)]
+        solo_hist = []
+        for m in seeds:
+            mm = m.copy()
+            r = run_em(mm, bg, sset, Params(
+                EM=True, q=0.5, maxEMIterations=12, use_pallas=False,
+                verbose=True,
+            ))
+            solo_hist.append(r.ll_history)
+
+        results = run_em_multi(seeds, bg, sset, params)
+        for r, hist in zip(results, solo_hist):
+            assert len(r.ll_history) == r.iterations == len(hist)
+            np.testing.assert_allclose(
+                r.ll_history, hist, rtol=1e-5, atol=1e-3
+            )
+            assert r.ll_history[-1] == pytest.approx(r.ll, rel=1e-6)

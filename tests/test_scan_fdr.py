@@ -534,3 +534,76 @@ class TestFusedFDR:
         )
         res = evaluate_motifs(self._seeds(sset, [MOTIF]), bg, sset, params)
         assert len(res) == 1 and res[0].zoops["score"].size > 0
+
+
+class TestWriteLogOdds:
+    def test_per_window_rows(self, trained, tmp_path):
+        sset, bg, m = trained
+        res = scan.score_set(m, bg, sset)
+        path = tmp_path / "out.logOdds"
+        n_rows = scan.write_logodds(path, res, sset)
+        lines = path.read_text().splitlines()
+        assert lines[0] == "header\tstrand\tstart\tscore"
+        assert len(lines) == n_rows + 1
+        # every VALID window of every sequence, both strands
+        assert n_rows == res.n_windows
+        # spot-check a row: the score must equal the scored window plane
+        h, strand, start, score = lines[1].split("\t")
+        gi = sset.headers.index(h)
+        sc = res.scores  # [S, N, n_win]
+        s = 0 if strand == "+" else 1
+        i = (int(start) - 1 if s == 0
+             else int(sset.lens[gi]) - res.W - (int(start) - 1))
+        assert float(score) == pytest.approx(float(sc[s, gi, i]), rel=1e-5)
+
+
+class TestMOPSDiscrimination:
+    def test_mops_scales_with_site_density(self):
+        """MOPS AvRec must DISCRIMINATE site density: its recall
+        denominator is ALL positive windows (FDR::calculatePR pools
+        per-window scores), so a single-site set is structurally diluted
+        to AvRec ~ sites/windows — the near-zero config-4 MOPS numbers —
+        while a 3-sites-per-sequence set must score ~3x higher.  If this
+        scaling disappears, the pool/normalization convention broke."""
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+
+        rng = np.random.default_rng(3)
+        L, n, W = 60, 120, len(MOTIF)
+
+        def planted_k_sites(k_sites):
+            seqs = []
+            starts = [5, 25, 45]
+            for i in range(n):
+                s = rng.choice(4, size=L)
+                for j in range(k_sites):
+                    pos = starts[j] + rng.integers(0, 8)
+                    s[pos : pos + W] = [
+                        "ACGT".index(c) for c in MOTIF
+                    ]
+                seqs.append("".join("ACGT"[c] for c in s))
+            return SequenceSet.from_sequences(seqs)
+
+        params = Params(
+            FDR=True, cvFold=2, mFold=4, q=0.9, maxEMIterations=20,
+            use_pallas=False,
+        )
+        avrec = {}
+        for k_sites in (1, 3):
+            sset = planted_k_sites(k_sites)
+            bg = BackgroundModel.from_sequence_set(sset, order=2)
+            seed = seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+            res = evaluate_motifs([seed], bg, sset, params)[0]
+            avrec[k_sites] = prcurve.average_recall(res.mops)
+            # ZOOPS saturates near 1 either way (every sequence has >= 1
+            # site); MOPS is diluted by the all-windows denominator
+            assert prcurve.average_recall(res.zoops) > 0.5
+        # ~1.8x measured (sub-linear: the extra sites also shift the
+        # precision curve); anything under 1.5x means no discrimination
+        assert avrec[3] > 1.5 * avrec[1]
+        # per-window dilution: a W-site in an L-length both-strand set
+        # contributes ~W overlapping above-threshold windows out of
+        # 2*(L-W+1); AvRec stays well under the ZOOPS scale
+        assert avrec[1] < 0.25

@@ -22,6 +22,24 @@ same flags, and numerically diffs the artifacts:
   * .zoops.stats     — excluded for the same RNG reason; compared
                         distributionally by AvRec when both exist
 
+Self-chosen conventions that MUST be checked against the reference the
+moment a binary appears (each is a pinned deviation in its docstring):
+
+  * .stats row thinning — evaluation.fdr.MAX_STATS_ROWS uniform
+    thinning of the WRITTEN table (the reference plausibly writes one
+    row per pooled score; diff row counts and interpolate if so)
+  * p-value tie handling — tie-block-midpoint interpolation
+    (scoring.scan.empirical_pvalues, frac = (lo+hi)/2) vs the survey's
+    "linear interpolation between adjacent negative scores [MED]"
+  * .logOdds layout — per-WINDOW rows (header/strand/1-based
+    start/score, scoring.scan.write_logodds) vs whatever
+    ScoreSeqSet::write emits under --saveLogOdds
+  * MOPS pool convention — per-window scores pooled over both strands
+    with mFold FP normalization (evaluation.fdr; see the synthetic
+    multi-occurrence discrimination test in tests/test_scan_fdr.py)
+  * .ihbp j=0 convention and the context denominator in update_v
+    (models/motif.py), IUPAC softening (models/seeds.py)
+
 Deterministic-path configs (EM from a PWM seed, no sampling) must pass
 strictly; sampled-path configs report distributional summaries only.
 The comparison helpers are unit-tested (tests/test_scan_fdr.py uses

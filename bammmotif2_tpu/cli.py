@@ -147,6 +147,10 @@ def run_pipeline(params: Params, mesh=None) -> dict:
 def _run_pipeline(params: Params, mesh=None) -> dict:
     from bammmotif2_tpu.utils.metrics import MetricsLogger
 
+    # library callers (benchmarks, notebooks) get the persistent XLA
+    # compile cache too, not just the console entry point (idempotent)
+    _enable_compilation_cache()
+
     t_start = time.perf_counter()
     out: dict = {"motifs": [], "files": []}
     os.makedirs(params.outputDirectory, exist_ok=True)

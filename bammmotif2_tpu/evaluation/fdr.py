@@ -69,12 +69,14 @@ MAX_STATS_ROWS = 20_000  # written rows per .stats file (sweep stays full)
 def _write_stats(path: str, sweep: dict, max_rows: int = MAX_STATS_ROWS) -> None:
     """One TSV row per sweep point, uniformly thinned past ``max_rows``.
 
-    The in-memory sweep keeps every pooled score (AvRec and p-values use
-    the full resolution); only the WRITTEN file is thinned.  Documented
-    deviation: the reference writes one row per pooled score, which at
-    MOPS/window scale (23M rows for 10k x 200 bp x mFold 10) produces
-    gigabyte files and dominated end-to-end wall-clock; endpoints are
-    always kept so the written curve spans the full range.
+    ZOOPS sweeps stay full-resolution in memory; MOPS sweeps arrive from
+    the device already rank-thinned to this same row budget (fetching
+    rows the writer would discard cost ~20 MB/group on slow transports).
+    Documented deviation: the reference writes one row per pooled score,
+    which at MOPS/window scale (23M rows for 10k x 200 bp x mFold 10)
+    produces gigabyte files and dominated end-to-end wall-clock;
+    endpoints are always kept so the written curve spans the full range,
+    and AvRec from the thinned curve matches the full sweep to ~1e-3.
     """
     n = len(sweep["score"])
     idx = (
@@ -352,21 +354,38 @@ def _group_fdr_program(
         rows_d = jnp.asarray(rows_thin, jnp.int32)
 
         def sweep_one(pools):
+            """Thinned (tp, fp, rank) rows WITHOUT argsort/giant gathers.
+
+            The stable-argsort formulation (cumsum over is_pos sorted by
+            score, pos pool concatenated first) is reconstructed
+            analytically: rows above a tie block are all > s, and within
+            the s tie block every positive precedes every negative, so
+              tp(r) = #pos > s_r  +  clip(r + 1 - #pool > s_r, 0, #pos == s_r)
+              fp(r) = (r + 1) - tp(r)
+            This needs only VALUE sorts plus searchsorted on the ~20k
+            thinned rows.  The argsort form cost ~2 s/seed at config-4
+            scale: a 42M argsort plus two 42M gathers (0.65 s each on
+            v5e), and searchsorted with millions of queries lowers to a
+            per-query binary-search loop (~17 s per 42M queries measured).
+            Pads (NEG_INF) sit below any real score, so rows < n never
+            reach them.
+            """
             pp, nn = pools
-            pool = jnp.concatenate([pp, nn])
-            is_pos = jnp.concatenate([
-                jnp.ones(pp.shape, jnp.int32), jnp.zeros(nn.shape, jnp.int32)
-            ])
-            # pads (NEG_INF) sort past the true n_pos + n_neg frontier —
-            # below any real (finite) score — so thinned rows < n never
-            # touch them regardless of within-tie order
-            order = jnp.argsort(-pool, stable=True)
-            pool_s = pool[order]
-            is_pos_s = is_pos[order]
-            tp = jnp.cumsum(is_pos_s, dtype=jnp.int32)[rows_d]
-            fpc = jnp.cumsum(1 - is_pos_s, dtype=jnp.int32)[rows_d]
-            sc_t = pool_s[rows_d]
+            n_tot = pp.shape[0] + nn.shape[0]
+            pool_sorted = jnp.sort(jnp.concatenate([pp, nn]))  # ascending
+            pos_sorted = jnp.sort(pp)
             neg_sorted = jnp.sort(nn)  # -inf pads sort FIRST ascending
+            sc_t = pool_sorted[n_tot - 1 - rows_d]  # r-th largest
+            n_pool_gt = (
+                n_tot - jnp.searchsorted(pool_sorted, sc_t, side="right")
+            ).astype(jnp.int32)
+            pos_le = jnp.searchsorted(pos_sorted, sc_t, side="right")
+            pos_lt = jnp.searchsorted(pos_sorted, sc_t, side="left")
+            n_pos_gt = (pp.shape[0] - pos_le).astype(jnp.int32)
+            ties_pos = (pos_le - pos_lt).astype(jnp.int32)
+            r1 = rows_d.astype(jnp.int32) + 1
+            tp = n_pos_gt + jnp.clip(r1 - n_pool_gt, 0, ties_pos)
+            fpc = r1 - tp
             pad_neg = nn.shape[0] - n_neg_true
             lo = jnp.clip(
                 jnp.searchsorted(neg_sorted, sc_t, side="left") - pad_neg,
@@ -586,11 +605,16 @@ def _evaluate_group(
         min(getattr(params, "cgsBurnIn", 0),
             max(params.maxCGSIterations - 1, 0)),
     )
+    # MOPS sweeps fetch at the written .stats resolution (MAX_STATS_ROWS):
+    # at 10-seed config-4 scale the 100k-row fetch was ~20 MB/group over a
+    # ~5 MB/s transport for rows the writer would thin away anyway (AvRec
+    # from a 20k-row curve matches the full sweep to ~1e-3, cf.
+    # test_device_sweep_matches_numpy's thinned check)
     program = _group_fdr_program(
         A, K, W, F, M, n_per, path, refine, params.optimizeQ,
         params.maxEMIterations, cgs_statics, params.ss, sampled,
         neg_pad_len, params.sOrder, n_neg_gather,
-        n_pos_true, n_neg_true, 100_000,
+        n_pos_true, n_neg_true, MAX_STATS_ROWS,
     )
     out = program(inp)
 
@@ -750,7 +774,8 @@ def evaluate_motif(
         # count; the window-scale pool sorts/sweeps ON DEVICE and only a
         # thinned table crosses to the host
         mops=prcurve.threshold_sweep_device(
-            pm, nm, m_fold_eff, n_pos_mops, n_neg_mops
+            pm, nm, m_fold_eff, n_pos_mops, n_neg_mops,
+            max_rows=MAX_STATS_ROWS,
         ),
         pos_pvalues=empirical_pvalues(pz, nz),
         m_fold=params.mFold,

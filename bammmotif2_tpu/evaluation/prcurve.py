@@ -40,29 +40,46 @@ def threshold_sweep_device(
 
     if pos_dev.size + neg_dev.size >= 2**31:
         raise ValueError("pooled window count exceeds int32 rank range")
-    pool = jnp.concatenate([
-        jnp.asarray(pos_dev, jnp.float32).ravel(),
-        jnp.asarray(neg_dev, jnp.float32).ravel(),
-    ])
-    is_pos = jnp.concatenate([
-        jnp.ones(pos_dev.size, jnp.int32), jnp.zeros(neg_dev.size, jnp.int32)
-    ])
-    # pads are -inf, below any real (finite) score, so every pad sorts past
-    # the n_pos + n_neg frontier regardless of within-tie order; the rows
-    # fetched below all index before that frontier
-    order = jnp.argsort(-pool, stable=True)
-    pool_s = pool[order]
-    is_pos_s = is_pos[order]
-    # ranks stay int32 ON DEVICE (exact; pool < 2^31) — the f64 sweep math
-    # runs on the host from the thinned integer ranks, because requesting
-    # int64/f64 here silently truncates to int32/f32 under the default
-    # x64-disabled config and f32 ranks quantize past 2^24 pooled windows
-    tp_dev = jnp.cumsum(is_pos_s, dtype=jnp.int32)
-    fp_dev = jnp.cumsum(1 - is_pos_s, dtype=jnp.int32)
-
+    pp = jnp.asarray(pos_dev, jnp.float32).ravel()
+    nn = jnp.asarray(neg_dev, jnp.float32).ravel()
     n = n_pos + n_neg
-    neg_sorted = jnp.sort(jnp.asarray(neg_dev, jnp.float32).ravel())
-    pad_neg = neg_sorted.size - n_neg  # -inf pads sort FIRST ascending
+    rows = (
+        np.unique(np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64))
+        if n > max_rows
+        else np.arange(n)
+    )
+    rows_d = jnp.asarray(rows, jnp.int32)
+
+    # VALUE sorts + tie-block rank reconstruction instead of the stable
+    # argsort + cumsum + gather formulation (identical results: rows above
+    # a tie block are all > s, and within a tie block every positive
+    # precedes every negative because the pos pool concatenates first):
+    #   tp(r) = #pos > s_r + clip(r + 1 - #pool > s_r, 0, #pos == s_r)
+    # The argsort form paid two full-pool gathers (~0.65 s each per 42M on
+    # v5e) and searchsorted with full-pool queries (~17 s per 42M: XLA
+    # lowers it to a per-query binary-search loop); here searchsorted only
+    # ever sees the <= max_rows thinned scores.  Ranks stay int32 ON
+    # DEVICE (exact; pool < 2^31) and the f64 sweep math runs on the host
+    # from the thinned integer ranks — f32 ranks would quantize past 2^24
+    # pooled windows.  Pads (-inf) sit below any real score, so thinned
+    # rows < n never reach them.
+    n_tot = int(pp.size + nn.size)
+    pool_sorted = jnp.sort(jnp.concatenate([pp, nn]))  # ascending
+    pos_sorted = jnp.sort(pp)
+    neg_sorted = jnp.sort(nn)  # -inf pads sort FIRST ascending
+    pool_s = pool_sorted[n_tot - 1 - rows_d]  # r-th largest at each row
+    n_pool_gt = (
+        n_tot - jnp.searchsorted(pool_sorted, pool_s, side="right")
+    ).astype(jnp.int32)
+    pos_le = jnp.searchsorted(pos_sorted, pool_s, side="right")
+    pos_lt = jnp.searchsorted(pos_sorted, pool_s, side="left")
+    n_pos_gt = (pp.size - pos_le).astype(jnp.int32)
+    ties_pos = (pos_le - pos_lt).astype(jnp.int32)
+    r1 = rows_d + 1
+    tp_dev = n_pos_gt + jnp.clip(r1 - n_pool_gt, 0, ties_pos)
+    fp_dev = r1 - tp_dev
+
+    pad_neg = int(nn.size) - n_neg
     lo_dev = jnp.clip(
         jnp.searchsorted(neg_sorted, pool_s, side="left") - pad_neg, 0, n_neg
     ).astype(jnp.int32)
@@ -70,17 +87,11 @@ def threshold_sweep_device(
         jnp.searchsorted(neg_sorted, pool_s, side="right") - pad_neg, 0, n_neg
     ).astype(jnp.int32)
 
-    rows = (
-        np.unique(np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64))
-        if n > max_rows
-        else np.arange(n)
-    )
-    rows_d = jnp.asarray(rows)
     m = m_fold if m_fold > 0 else 1
-    tp_h = np.asarray(tp_dev[rows_d], np.float64)
-    fp_h = np.asarray(fp_dev[rows_d], np.float64) / m
-    lo = np.asarray(lo_dev[rows_d], np.float64)
-    hi = np.asarray(hi_dev[rows_d], np.float64)
+    tp_h = np.asarray(tp_dev, np.float64)
+    fp_h = np.asarray(fp_dev, np.float64) / m
+    lo = np.asarray(lo_dev, np.float64)
+    hi = np.asarray(hi_dev, np.float64)
     frac = np.where(hi > lo, 0.5 * (lo + hi), lo)
     if n_neg > 0:
         pv = np.clip(
@@ -89,7 +100,7 @@ def threshold_sweep_device(
     else:
         pv = np.ones_like(frac)
     out = {
-        "score": np.asarray(pool_s[rows_d], np.float64),
+        "score": np.asarray(pool_s, np.float64),
         "tp": tp_h,
         "fp": fp_h,
         "precision": tp_h / np.maximum(tp_h + fp_h, 1e-30),

@@ -207,7 +207,16 @@ def _device_codes(sset: SequenceSet, B: int):
     Returns (codes_dev [N_pad, L], lens_dev [N_pad], comp_table_dev,
     n_chunks).  Pad rows are PAD codes with length 0: they score NEG_INF,
     mask False, and count nothing.
+
+    Memoized on the SequenceSet instance: re-scanning the same set (the
+    CLI scans it once per (W, K) group; benchmarks scan repeatedly) would
+    otherwise re-upload the code tensor every call — 20 MB per pass at
+    100k x 200 bp, the whole warm wall-clock on a slow transport.
     """
+    cache = sset.__dict__.setdefault("_device_codes_cache", {})
+    hit = cache.get(B)
+    if hit is not None:
+        return hit
     N = sset.n
     L = sset.codes.shape[1] if N else 0
     n_chunks = -(-N // B) if N else 0
@@ -218,9 +227,11 @@ def _device_codes(sset: SequenceSet, B: int):
         [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
         dtype=np.int8,
     )
-    return (
+    out = (
         jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(table), n_chunks
     )
+    cache[B] = out
+    return out
 
 
 def score_set_multi(
@@ -403,28 +414,51 @@ def find_occurrences(
         M = int(neg.size)
         pad = 0
 
+    if M > 0 and pval_cutoff < 1.0 / (M + 1.0):
+        return []  # pv is clipped to >= 1/(M+1): nothing can pass
+
+    # conservative score cutoff from the p-value cutoff: pv is monotone
+    # non-increasing in score, and pv(s) >= (M - hi(s) + 1) / (M + 1)
+    # with hi(s) = #neg <= s, so pv <= cutoff requires
+    # hi(s) >= k = M + 1 - cutoff * (M + 1).  Only windows scoring at or
+    # above the k-th smallest negative can pass — searchsorted then runs
+    # on the few candidates instead of every window (XLA lowers
+    # searchsorted to a per-query binary-search loop: ~17 s per 42M
+    # queries on a v5e, the entire cost of a genome-scale extraction).
+    if M > 0 and pval_cutoff < 1.0:
+        k = int(np.clip(np.ceil((M + 1) * (1.0 - pval_cutoff)), 1, M))
+        s_cut = neg[pad + k - 1]
+    else:
+        # cutoff >= 1 admits pv == 1 (scores below every negative), and an
+        # empty pool gives pv == 1 everywhere: no prefilter possible
+        s_cut = -np.inf
+
     occs: list = []
     for row0, sc, mask in scan.iter_chunks():
         S, n, n_win = sc.shape
-        lo = jnp.clip(jnp.searchsorted(neg, sc, side="left") - pad, 0, M)
-        hi = jnp.clip(jnp.searchsorted(neg, sc, side="right") - pad, 0, M)
-        frac = jnp.where(hi > lo, 0.5 * (lo + hi), lo).astype(jnp.float32)
-        pv_dev = jnp.clip((M - frac + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
         valid = jnp.broadcast_to(mask[None], sc.shape)
-        hitmask = (valid & (pv_dev <= pval_cutoff)).ravel()
-        n_hits = int(hitmask.sum())
-        if n_hits == 0:
+        cand = (valid & (sc >= s_cut)).ravel()
+        n_cand = int(cand.sum())
+        if n_cand == 0:
             continue
-        flat = jnp.nonzero(hitmask, size=n_hits)[0]
-        hit_scores = np.asarray(sc.ravel()[flat])
-        # reported p-values: f64 host math from the exact int32 ranks —
-        # the on-device f32 frac quantizes past 2^24 pooled negatives
-        # (fine for thresholding, not for the written deep-tail values)
-        lo_h = np.asarray(lo.ravel()[flat], np.float64)
-        hi_h = np.asarray(hi.ravel()[flat], np.float64)
+        cidx_flat = jnp.nonzero(cand, size=n_cand)[0]
+        sc_c = sc.ravel()[cidx_flat]
+        lo = jnp.clip(jnp.searchsorted(neg, sc_c, side="left") - pad, 0, M)
+        hi = jnp.clip(jnp.searchsorted(neg, sc_c, side="right") - pad, 0, M)
+        # exact f64 host math from the int32 ranks — on-device f32 frac
+        # quantizes past 2^24 pooled negatives (fine for the cutoff
+        # prefilter, not for the written deep-tail values)
+        lo_h = np.asarray(lo, np.float64)
+        hi_h = np.asarray(hi, np.float64)
         frac_h = np.where(hi_h > lo_h, 0.5 * (lo_h + hi_h), lo_h)
-        hit_pv = np.clip((M - frac_h + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
-        s_i, n_i, i_i = np.unravel_index(np.asarray(flat), (S, n, n_win))
+        pv_c = np.clip((M - frac_h + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
+        keep = pv_c <= pval_cutoff
+        if not keep.any():
+            continue
+        flat = np.asarray(cidx_flat)[keep]
+        hit_scores = np.asarray(sc_c)[keep]
+        hit_pv = pv_c[keep]
+        s_i, n_i, i_i = np.unravel_index(flat, (S, n, n_win))
 
         for s, nn, i, score, p in zip(s_i, n_i, i_i, hit_scores, hit_pv):
             gi = row0 + int(nn)

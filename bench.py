@@ -189,6 +189,64 @@ def time_scan() -> float:
     return n_win * N_TIMED_ITERS / dt
 
 
+def time_cgs(M: int = 1) -> float:
+    """CGS sweep throughput (windows/s; each sweep scores every window once).
+
+    The second refinement engine at config scale: full collapsed-Gibbs
+    sweeps (z + q sampling + alpha gradient step) chained inside one
+    jitted fori_loop.  M = 1 times the plain path, M > 1 the seed-stacked
+    gibbs_step_multi (LUTs riding the kernel's output rows, as in
+    run_gibbs_multi).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bammmotif2_tpu.refinement.gibbs import gibbs_step, gibbs_step_multi
+
+    v1, q1, data, alphas1, f_bg, n_win = build_problem()
+    nr = jnp.asarray(float(N_SEQS), jnp.float32)
+    statics = dict(
+        A=4, K=K, W=W, sample_z=True, sample_q=True, learn_alpha=True,
+        path="pallas", mesh=None,
+    )
+    if M == 1:
+        v = v1
+        q = jnp.asarray(0.9, jnp.float32)
+        la = jnp.log(alphas1)
+        da = alphas1
+        key = jax.random.PRNGKey(0)
+        step = functools.partial(gibbs_step, **statics)
+    else:
+        v = tuple(jnp.stack([vk] * M) for vk in v1)
+        q = jnp.full((M,), 0.9, jnp.float32)
+        la = jnp.log(jnp.stack([alphas1] * M))
+        da = jnp.stack([alphas1] * M)
+        key = jnp.stack(
+            [jax.random.fold_in(jax.random.PRNGKey(0), m) for m in range(M)]
+        )
+        step = functools.partial(gibbs_step_multi, **statics)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(v, q, la, key, n):
+        def body(_, carry):
+            v, q, la, key = carry
+            v2, q2, la2, key2, _ll, _nocc, _c = step(
+                v, q, la, key, data, f_bg, da, nr
+            )
+            return v2, q2, la2, key2
+
+        return jax.lax.fori_loop(0, n, body, (v, q, la, key))
+
+    jax.block_until_ready(loop(v, q, la, key, N_TIMED_ITERS))
+    dt = min(
+        _timed(lambda: jax.block_until_ready(loop(v, q, la, key, N_TIMED_ITERS)))
+        for _ in range(3)
+    )
+    return M * n_win * N_TIMED_ITERS / dt
+
+
 def measure_anchor() -> float:
     """CPU anchor (reference stand-in): same EM step on the host CPU."""
     import subprocess
@@ -233,6 +291,8 @@ def main():
     # kernel) and 3-seed stacked aggregate (the MXU-fill configuration)
     scan_wps = None
     multi3_wps = None
+    cgs_wps = None
+    cgs3_wps = None
     if backend == "tpu":
         try:
             scan_wps = time_scan()
@@ -240,6 +300,11 @@ def main():
             pass
         try:
             multi3_wps = time_em_multi(3)
+        except Exception:
+            pass
+        try:
+            cgs_wps = time_cgs(1)
+            cgs3_wps = time_cgs(3)
         except Exception:
             pass
 
@@ -273,6 +338,10 @@ def main():
         out["scan_windows_per_sec"] = round(scan_wps)
     if multi3_wps:
         out["multi3_agg_windows_per_sec"] = round(multi3_wps)
+    if cgs_wps:
+        out["cgs_windows_per_sec"] = round(cgs_wps)
+    if cgs3_wps:
+        out["cgs3_agg_windows_per_sec"] = round(cgs3_wps)
     print(json.dumps(out))
 
 

@@ -140,28 +140,70 @@ def main() -> None:
         return
     import tempfile
 
+    n_cores = os.cpu_count() or 1
+    proc_counts = [1, 2, 4, 8]
+    repeats = 3  # min-of-N: the collective path is latency-bound and the
+    # box is shared, so min is the right noise filter (perf-bench practice)
+    points = []
     with tempfile.TemporaryDirectory() as td:
-        p1 = run_point(1, td)
-        p2 = run_point(2, td)
-    # weak scaling: per-shard work fixed, so ideal is equal wall-clock;
-    # efficiency = t1 / t2 (== aggregate-throughput ratio / proc ratio)
-    eff = p1["seconds"] / p2["seconds"]
-    overhead_ms = (p2["seconds"] - p1["seconds"]) / N_ITERS * 1e3
+        for n in proc_counts:
+            best = None
+            for _ in range(repeats):
+                p = run_point(n, td)
+                if best is None or p["seconds"] < best["seconds"]:
+                    best = p
+            points.append(best)
+            print(f"procs={n}: {best['seconds']:.3f}s (min of {repeats})",
+                  flush=True)
+
+    # weak scaling: per-shard work fixed.  On this 2-core box only the
+    # 1->2 step has one pinned core per process; past that, processes
+    # timeshare cores, so each point's IDEAL wall-clock is
+    # ceil(n/cores) x t1 (pure compute timesharing) and everything above
+    # it is distributed overhead (gloo collectives + multihost dispatch).
+    t1 = points[0]["seconds"]
+    eff = t1 / points[1]["seconds"]
+    rows = []
+    for p in points:
+        n = p["procs"]
+        contention = -(-n // n_cores)
+        ideal = contention * t1
+        over_ms = max(p["seconds"] - ideal, 0.0) / N_ITERS * 1e3
+        rows.append(dict(
+            procs=n, procs_per_core=contention,
+            ideal_seconds=round(ideal, 4),
+            overhead_ms_per_iter=round(over_ms, 3),
+            contention_adjusted_efficiency=round(ideal / p["seconds"], 4),
+            oversubscribed=contention > 1,
+        ))
     artifact = dict(
         config=dict(
-            kind="weak scaling, 1 virtual CPU device per process, one "
-                 "pinned core per process (taskset)",
+            kind="weak scaling, 1 virtual CPU device per process; pinned "
+                 "cores up to the core count, timesharing past it "
+                 "(overhead model separates contention from collectives)",
+            cores=n_cores,
             seqs_per_device=N_PER_DEVICE, seq_len=SEQ_LEN, K=2, W=len(MOTIF),
             iterations=N_ITERS, path="gather (CPU)",
             transport="gloo over loopback",
         ),
-        points=[p1, p2],
+        points=points,
+        overhead_model=rows,
         efficiency_1_to_2_procs=round(eff, 4),
-        distributed_overhead_ms_per_iter=round(overhead_ms, 3),
+        distributed_overhead_ms_per_iter=round(
+            rows[1]["overhead_ms_per_iter"], 3
+        ),
         note="CPU/gloo lower bound for the framework's distributed "
              "overheads; the TPU production path psums a <=330 KB count "
              "tensor per EM iteration over ICI, so cross-host efficiency "
-             "there is expected to be >= this bound (BASELINE >=80% bar).",
+             "there is expected to be >= this bound (BASELINE >=80% bar). "
+             "The pinned 1->2 step is the only clean point this 2-core "
+             "box allows; 4- and 8-process points (oversubscribed=true) "
+             "validate that the SPMD program runs correctly at higher "
+             "process counts, but their overhead is dominated by "
+             "allreduce convoying under core timesharing (every "
+             "participant must be scheduled per collective), a scheduling "
+             "artifact distinct hosts do not have — treat them as loose "
+             "upper bounds, not a collective-cost trend.",
         timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"),
     )
     out_path = os.path.join(REPO, "SCALING.json")

@@ -202,6 +202,14 @@ def _strand_codes(sset: SequenceSet, ss: bool) -> list:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("A", "K"))
+def _stack_combined(strands: tuple, A: int, K: int):
+    """Encode + stack all strands in ONE program (combined_kmer_index is
+    ~20 elementwise ops per strand — eager, that is ~40 dispatches on a
+    high-latency transport for work that takes microseconds)."""
+    return jnp.stack([combined_kmer_index(c, A, K) for c in strands])
+
+
 def strand_indices(sset: SequenceSet, K: int, ss: bool):
     """Build the per-strand combined k-mer index tensors for a SequenceSet.
 
@@ -210,7 +218,7 @@ def strand_indices(sset: SequenceSet, K: int, ss: bool):
     """
     A = sset.alphabet.size
     strands = _strand_codes(sset, ss)
-    cidx = jnp.stack([combined_kmer_index(c, A, K) for c in strands])
+    cidx = _stack_combined(tuple(strands), A, K)
     return cidx, jnp.asarray(sset.lens)
 
 

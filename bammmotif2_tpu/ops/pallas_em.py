@@ -86,6 +86,12 @@ MAX_B = 64  # larger blocks exceed v5e VMEM (2 scratch (B, M*Wp, SLp) tensors)
 MAX_QHI = 128  # hi values resolved by VPU masked accumulation
 MAX_SEEDS = 32  # seed-stack upper bound probed by max_seeds()
 _VMEM_BUDGET = 10 * 1024 * 1024  # bytes of in-kernel temporaries to aim for
+# huge-Qhi geometries (K=5 at A=4: Qhi=43) get a larger allowance: the
+# r5 A/B measured G=2->4 at 14 MB as 27.4 -> 26.1 ms/iter (+5%), while
+# the same raise moved K<=4 by <1% (B was not the binding constraint
+# there) — so the bigger budget is scoped to where it measured a win
+_VMEM_BUDGET_HIQ = 14 * 1024 * 1024
+_HIQ_THRESHOLD = 16  # Qhi above this uses _VMEM_BUDGET_HIQ
 
 NT_SCORES = 3  # bf16 split terms for the E-step matmul (3 == full f32)
 NT_COUNTS = 2  # for the M-step matmul (posterior rounding dominates anyway)
@@ -159,20 +165,21 @@ def _geometry(A, K, W, S, L, M=1):
     # Measured on a v5e (10k x 200 bp, W=12): K=3 8.1 -> 4.3 ms/iter,
     # K=4 12.4 -> 9.9 with G=4/2; K=5 unchanged-at-G=1 was re-enabled by
     # this budget rule (fixed + room for >= 8-sequence blocks).
+    budget = _VMEM_BUDGET_HIQ if Qhi > _HIQ_THRESHOLD else _VMEM_BUDGET
     G = 1
     if Qhi > 1:
         for cand in (4, 2):
-            if fixed_bytes(cand) + 8 * per_seq <= _VMEM_BUDGET:
+            if fixed_bytes(cand) + 8 * per_seq <= budget:
                 G = cand
                 break
     fixed = fixed_bytes(G)
-    avail = max(_VMEM_BUDGET - fixed, per_seq)
+    avail = max(budget - fixed, per_seq)
     B = max(1, min(MAX_B, avail // per_seq))
     B = max(G, (B // G) * G)  # the G-row loop needs B % G == 0
     return dict(
         Q=Q, Qlo=Qlo, Qhi=Qhi, QloP=QloP, Wp=Wp, SLp=SLp, B=B,
         M=M, Wt=Wt, stack_terms=stack_terms, G=G,
-        fixed=fixed, per_seq=per_seq,
+        fixed=fixed, per_seq=per_seq, budget=budget,
     )
 
 
@@ -193,7 +200,7 @@ def max_seeds(K: int, W: int, *, A: int = 4, S: int = 2, L: int = 256) -> int:
     throughput sweet spot SWEET_SPOT_M."""
     for M in range(SWEET_SPOT_M, 1, -1):
         g = _geometry(A, K, W, S, L, M)
-        if g["fixed"] + 8 * g["per_seq"] <= _VMEM_BUDGET:
+        if g["fixed"] + 8 * g["per_seq"] <= g["budget"]:
             return M
     return 1
 

@@ -100,10 +100,21 @@ def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool) -> di
       cidx [S, N, L] combined-LUT rows (gather AND pallas_em paths — the
         kernel one-hots directly in combined-row space)
       lens [N], bg_flat [R]
+
+    The (cidx, lens) tensors memoize per SequenceSet instance and (K, ss):
+    the CLI tensorizes the same set once per (W, K) seed group for EM and
+    again for FDR, and each re-encode paid an upload plus dozens of eager
+    dispatches on slow transports.  Callers never mutate the returned
+    arrays (fold masking builds NEW dicts with a masked lens).
     """
+    cache = sset.__dict__.setdefault("_em_data_cache", {})
+    hit = cache.get((K, ss))
+    if hit is None:
+        cidx, lens = encode.strand_indices(sset, K, ss)
+        hit = cache[(K, ss)] = (cidx, lens)
     return {
-        "cidx": encode.strand_indices(sset, K, ss)[0],
-        "lens": jnp.asarray(sset.lens),
+        "cidx": hit[0],
+        "lens": hit[1],
         "bg_flat": jnp.asarray(bg.conditional_flat(K), jnp.float32),
     }
 

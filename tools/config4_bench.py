@@ -150,10 +150,14 @@ def main() -> None:
         fdr_per_seed=fdr_rows,
         note="seed-stacked kernel: one compile + one program per (W, K) "
              "group; per-seed seconds are iteration shares of the group "
-             "wall clock (EMResult docs).  On the axon tunnel the FDR "
-             "fold loop's eager glue pays ~0.5-1 s dispatch latency per "
-             "op, which dominates wall clock; the EM phase is ~1.2 s of "
-             "device time",
+             "wall clock (EMResult docs).  FDR runs as ONE fused device "
+             "program per (W, K) group (fold scan + stacked EM + "
+             "in-program negative sampling + device MOPS sweeps, "
+             "evaluation/fdr.py); the warm wall is dominated by genuine "
+             "fold-EM device compute (~300 iterations x 5 folds for the "
+             "W=8 group) plus per-seed host sweep assembly — the r4 "
+             "eager fold loop's ~0.5-1 s/op dispatch glue is gone "
+             "(590 s -> ~32 s warm on the same tunnel)",
         timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"),
     )
     json.dump(artifact, open(os.path.join(REPO, "CONFIG4.json"), "w"), indent=1)

@@ -64,9 +64,25 @@ class BackgroundModel:
         ``calculateV()``.
         """
         A = sset.alphabet.size
-        cidx, _ = encode.strand_indices(sset, order, ss)
         R = encode.num_rows(A, order)
-        flat = np.asarray(cidx).reshape(-1)
+        # pure-host counting: the device path uploaded the codes, encoded
+        # on chip, then fetched the whole [S, N, L] int32 tensor back just
+        # to bincount it (~1 s+ per call through a tunnel transport; the
+        # FDR fold loop fits one background per fold)
+        strands = [np.asarray(sset.codes)]
+        if not ss:
+            table = np.array(
+                [sset.alphabet.letters.index(c)
+                 for c in sset.alphabet.complements],
+                dtype=np.int8,
+            )
+            strands.append(
+                encode.revcomp_codes(sset.codes, sset.lens, table)
+            )
+        flat = np.concatenate([
+            encode.combined_kmer_index_np(c, A, order).ravel()
+            for c in strands
+        ])
         C = np.bincount(flat, minlength=R + 1).astype(np.float64)[:R]
         counts = _per_order_counts(C, A, order)
         v = _interpolated_v(counts, A, order, alpha)

@@ -48,16 +48,12 @@ def num_rows(A: int, K: int) -> int:
     return int(order_offsets(A, K)[-1])
 
 
-@functools.partial(jax.jit, static_argnames=("A", "K"))
-def combined_kmer_index(codes: jnp.ndarray, A: int, K: int) -> jnp.ndarray:
-    """Compute cidx[n, t] for an int8 code array [N, L].
-
-    codes: int8 [N, L]; >=0 concrete letter, -1 ambiguous, -2 pad.
-    Returns int32 [N, L]; invalid positions = R (the sentinel row).
-    """
-    codes = codes.astype(jnp.int32)
+def _combined_kmer_index_impl(codes, A: int, K: int, xp):
+    """combined_kmer_index generic over the array namespace ``xp``
+    (jax.numpy on device, numpy for pure-host counting paths)."""
+    codes = codes.astype(xp.int32)
     valid = codes >= 0
-    base = jnp.where(valid, codes, 0)
+    base = xp.where(valid, codes, 0)
     N, L = codes.shape
     off = order_offsets(A, K)  # static numpy offsets
     R = int(off[-1])
@@ -66,29 +62,49 @@ def combined_kmer_index(codes: jnp.ndarray, A: int, K: int) -> jnp.ndarray:
     def shift(x, d, fill):
         if d == 0:
             return x
-        return jnp.concatenate([jnp.full((N, d), fill, x.dtype), x[:, : L - d]], axis=1)
+        return xp.concatenate(
+            [xp.full((N, d), fill, x.dtype), x[:, : L - d]], axis=1
+        )
 
     shifted = [shift(base, d, 0) for d in range(K + 1)]
     valid_sh = [shift(valid, d, False) for d in range(K + 1)]
 
     # m(t): longest context of unambiguous bases ending at t-1, capped at K
     # and at t (no context before the sequence start).
-    m = jnp.zeros((N, L), jnp.int32)
-    ctx_ok = jnp.ones((N, L), bool)
+    m = xp.zeros((N, L), xp.int32)
+    ctx_ok = xp.ones((N, L), bool)
     for d in range(1, K + 1):
         ctx_ok = ctx_ok & valid_sh[d]
-        in_range = jnp.arange(L)[None, :] >= d
-        m = jnp.where(ctx_ok & in_range, d, m)
+        in_range = xp.arange(L)[None, :] >= d
+        m = xp.where(ctx_ok & in_range, d, m)
 
     # y_k(t): lexicographic (k+1)-mer code for each candidate order
-    y = jnp.zeros((N, L), jnp.int32)  # y_0 built incrementally: y_k = y_{k-1} + base[t-k]*A^k
     cidx = off[0] + base  # order-0 index
     acc = base
     for k in range(1, K + 1):
         acc = acc + shifted[k] * (A ** k)
-        cidx = jnp.where(m >= k, off[k] + acc, cidx)
-    del y
-    return jnp.where(valid, cidx, R).astype(jnp.int32)
+        cidx = xp.where(m >= k, off[k] + acc, cidx)
+    return xp.where(valid, cidx, R).astype(xp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("A", "K"))
+def combined_kmer_index(codes: jnp.ndarray, A: int, K: int) -> jnp.ndarray:
+    """Compute cidx[n, t] for an int8 code array [N, L].
+
+    codes: int8 [N, L]; >=0 concrete letter, -1 ambiguous, -2 pad.
+    Returns int32 [N, L]; invalid positions = R (the sentinel row).
+    """
+    return _combined_kmer_index_impl(codes, A, K, jnp)
+
+
+def combined_kmer_index_np(codes: np.ndarray, A: int, K: int) -> np.ndarray:
+    """Host-numpy combined_kmer_index (bit-identical; tested).
+
+    For counting paths (background model fits) that would otherwise
+    upload the codes, encode on device, and fetch the whole [S, N, L]
+    int32 tensor back just to bincount it — ~1 s+ per call on a slow
+    transport for ~50 ms of numpy."""
+    return _combined_kmer_index_impl(np.asarray(codes), A, K, np)
 
 
 @functools.partial(jax.jit, static_argnames=("A", "K"))

@@ -127,3 +127,21 @@ class TestCombinedIndex:
         assert cidx.shape == (2, 2, 8)
         cidx1, _ = encode.strand_indices(ss, K=2, ss=True)
         assert cidx1.shape == (1, 2, 8)
+
+
+class TestNumpyCombinedIndex:
+    def test_matches_jnp_path(self):
+        """combined_kmer_index_np (host counting path) is bit-identical to
+        the device encoder, including AMBIG (-1) and PAD (-2) handling."""
+        from bammmotif2_tpu.ops import encode
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        for A, K in ((4, 0), (4, 2), (4, 4), (5, 2)):
+            codes = rng.integers(0, A, (7, 33)).astype(np.int8)
+            codes[rng.random(codes.shape) < 0.08] = -1   # AMBIG
+            for i in range(7):
+                codes[i, rng.integers(20, 34):] = -2     # PAD tails
+            a = encode.combined_kmer_index_np(codes, A, K)
+            b = np.asarray(encode.combined_kmer_index(jnp.asarray(codes), A, K))
+            np.testing.assert_array_equal(a, b, err_msg=f"A={A} K={K}")

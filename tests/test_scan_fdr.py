@@ -607,3 +607,85 @@ class TestMOPSDiscrimination:
         # contributes ~W overlapping above-threshold windows out of
         # 2*(L-W+1); AvRec stays well under the ZOOPS scale
         assert avrec[1] < 0.25
+
+
+class TestFusedFDRSingleStrand:
+    def test_matches_per_seed_ss(self, trained):
+        """--ss (S=1) geometry through the fused group program."""
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+
+        sset, bg, _ = trained
+        params = Params(
+            FDR=True, ss=True, cvFold=2, mFold=2, q=0.5,
+            maxEMIterations=10, use_pallas=False,
+        )
+
+        def mk():
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+
+        ref = [evaluate_motif(mk(), bg, sset, params)]
+        new = evaluate_motifs([mk()], bg, sset, params)
+        for k in ("score", "tp", "fp", "precision", "recall", "pvalue"):
+            np.testing.assert_allclose(
+                ref[0].zoops[k], new[0].zoops[k], rtol=1e-4, atol=1e-6,
+                err_msg=f"zoops {k}",
+            )
+            np.testing.assert_allclose(
+                ref[0].mops[k], new[0].mops[k], rtol=1e-5, atol=1e-7,
+                err_msg=f"mops {k}",
+            )
+
+
+class TestFusedFDRMoreGeometries:
+    def test_k0_parity(self, trained):
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+
+        sset, bg0, _ = trained
+        bg = BackgroundModel.from_sequence_set(sset, order=0)
+        params = Params(
+            FDR=True, cvFold=2, mFold=2, q=0.5, maxEMIterations=8,
+            use_pallas=False, modelOrder=0,
+        )
+
+        def mk():
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=0,
+                f_bg=sset.base_frequencies(),
+            )
+
+        ref = evaluate_motif(mk(), bg, sset, params)
+        new = evaluate_motifs([mk()], bg, sset, params)[0]
+        for k in ("score", "tp", "fp", "pvalue"):
+            np.testing.assert_allclose(ref.mops[k], new.mops[k],
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(ref.zoops[k], new.zoops[k],
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_methylc_alphabet_smoke(self):
+        """A=5 (METHYLC) through the fused program: complements/sampling/
+        scoring all honor the 5-letter alphabet (gather path on CPU)."""
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+        from bammmotif2_tpu.utils.alphabet import Alphabet
+
+        alphabet = Alphabet.from_type("METHYLC")
+        rng = np.random.default_rng(4)
+        codes = rng.integers(0, 5, (60, 50)).astype(np.int8)
+        sset = SequenceSet(
+            codes=codes, lens=np.full(60, 50, np.int32),
+            headers=[f"s{i}" for i in range(60)], alphabet=alphabet,
+        )
+        bg = BackgroundModel.from_sequence_set(sset, order=1)
+        pwm = np.full((6, 5), 0.1)
+        pwm[:, 0] = 0.6
+        m = seeds_mod.motif_from_pwm(
+            pwm / pwm.sum(1, keepdims=True), K=1,
+            f_bg=sset.base_frequencies(), alphabet=alphabet,
+        )
+        params = Params(FDR=True, cvFold=2, mFold=2, q=0.5,
+                        maxEMIterations=5, use_pallas=False, sOrder=1)
+        res = evaluate_motifs([m], bg, sset, params)[0]
+        assert np.isfinite(res.zoops["score"]).all()
+        assert res.mops["score"].size > 0

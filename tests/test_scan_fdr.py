@@ -689,3 +689,55 @@ class TestFusedFDRMoreGeometries:
         res = evaluate_motifs([m], bg, sset, params)[0]
         assert np.isfinite(res.zoops["score"]).all()
         assert res.mops["score"].size > 0
+
+
+class TestFusedFDRVariableLengths:
+    def test_parity_with_short_rows(self):
+        """Variable-length sets, including rows SHORTER than W (zero valid
+        windows): fold masks, window frontiers, and negative-length
+        tiling must all agree with the per-seed path."""
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+        from bammmotif2_tpu.utils.alphabet import Alphabet
+
+        rng = np.random.default_rng(9)
+        N, Lmax, W = 57, 70, 8
+        codes = np.full((N, Lmax), -2, np.int8)
+        lens = rng.integers(5, Lmax + 1, N).astype(np.int32)
+        lens[3] = 5
+        lens[10] = 7
+        for i in range(N):
+            codes[i, : lens[i]] = rng.integers(0, 4, lens[i])
+            if lens[i] >= W and rng.random() < 0.7:
+                p = rng.integers(0, lens[i] - W + 1)
+                codes[i, p : p + W] = [
+                    "ACGT".index(c) for c in MOTIF
+                ]
+        sset = SequenceSet(
+            codes=codes, lens=lens,
+            headers=[f"s{i}" for i in range(N)],
+            alphabet=Alphabet.standard(),
+        )
+        bg = BackgroundModel.from_sequence_set(sset, order=2)
+
+        def mk():
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+
+        params = Params(FDR=True, cvFold=4, mFold=3, q=0.5,
+                        maxEMIterations=12, use_pallas=False)
+        ref = evaluate_motif(mk(), bg, sset, params)
+        new = evaluate_motifs([mk()], bg, sset, params)[0]
+        for k in ("score", "tp", "fp", "precision", "recall", "pvalue"):
+            np.testing.assert_allclose(
+                ref.mops[k], new.mops[k], rtol=1e-5, atol=1e-7,
+                err_msg=f"mops {k}",
+            )
+            np.testing.assert_allclose(
+                ref.zoops[k], new.zoops[k], rtol=1e-4, atol=1e-6,
+                err_msg=f"zoops {k}",
+            )
+        np.testing.assert_allclose(
+            ref.pos_pvalues, new.pos_pvalues, rtol=1e-5, atol=1e-8
+        )

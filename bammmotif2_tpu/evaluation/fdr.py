@@ -39,7 +39,7 @@ from bammmotif2_tpu.generator import seqgen
 from bammmotif2_tpu.models import motif as motif_mod
 from bammmotif2_tpu.models.background import BackgroundModel
 from bammmotif2_tpu.models.motif import Motif
-from bammmotif2_tpu.ops import escore
+from bammmotif2_tpu.ops import encode, escore
 from bammmotif2_tpu.refinement.em import choose_path, prepare_data, run_em
 from bammmotif2_tpu.scoring.scan import empirical_pvalues
 from bammmotif2_tpu.utils.config import Params
@@ -160,13 +160,7 @@ def _collect_scores(v: tuple, data: dict, lens_np: np.ndarray, row_sel: np.ndarr
     return max_h, flat, n_true
 
 
-def _thin_rows(n: int, max_rows: int) -> np.ndarray:
-    """Uniform rank thinning shared by every sweep writer/fetcher."""
-    if n > max_rows:
-        return np.unique(
-            np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64)
-        )
-    return np.arange(max(n, 0), dtype=np.int64)
+_thin_rows = prcurve.thin_rows  # single implementation (prcurve)
 
 
 @functools.lru_cache(maxsize=32)
@@ -354,49 +348,12 @@ def _group_fdr_program(
         rows_d = jnp.asarray(rows_thin, jnp.int32)
 
         def sweep_one(pools):
-            """Thinned (tp, fp, rank) rows WITHOUT argsort/giant gathers.
-
-            The stable-argsort formulation (cumsum over is_pos sorted by
-            score, pos pool concatenated first) is reconstructed
-            analytically: rows above a tie block are all > s, and within
-            the s tie block every positive precedes every negative, so
-              tp(r) = #pos > s_r  +  clip(r + 1 - #pool > s_r, 0, #pos == s_r)
-              fp(r) = (r + 1) - tp(r)
-            This needs only VALUE sorts plus searchsorted on the ~20k
-            thinned rows.  The argsort form cost ~2 s/seed at config-4
-            scale: a 42M argsort plus two 42M gathers (0.65 s each on
-            v5e), and searchsorted with millions of queries lowers to a
-            per-query binary-search loop (~17 s per 42M queries measured).
-            Pads (NEG_INF) sit below any real score, so rows < n never
-            reach them.
-            """
+            # tie-block rank reconstruction — single implementation
+            # shared with threshold_sweep_device (see
+            # prcurve.thinned_rank_rows for the math and why argsort/
+            # full-pool searchsorted are unusable at this scale)
             pp, nn = pools
-            n_tot = pp.shape[0] + nn.shape[0]
-            pool_sorted = jnp.sort(jnp.concatenate([pp, nn]))  # ascending
-            pos_sorted = jnp.sort(pp)
-            neg_sorted = jnp.sort(nn)  # -inf pads sort FIRST ascending
-            sc_t = pool_sorted[n_tot - 1 - rows_d]  # r-th largest
-            n_pool_gt = (
-                n_tot - jnp.searchsorted(pool_sorted, sc_t, side="right")
-            ).astype(jnp.int32)
-            pos_le = jnp.searchsorted(pos_sorted, sc_t, side="right")
-            pos_lt = jnp.searchsorted(pos_sorted, sc_t, side="left")
-            n_pos_gt = (pp.shape[0] - pos_le).astype(jnp.int32)
-            ties_pos = (pos_le - pos_lt).astype(jnp.int32)
-            r1 = rows_d.astype(jnp.int32) + 1
-            tp = n_pos_gt + jnp.clip(r1 - n_pool_gt, 0, ties_pos)
-            fpc = r1 - tp
-            pad_neg = nn.shape[0] - n_neg_true
-            lo = jnp.clip(
-                jnp.searchsorted(neg_sorted, sc_t, side="left") - pad_neg,
-                0, n_neg_true,
-            )
-            hi = jnp.clip(
-                jnp.searchsorted(neg_sorted, sc_t, side="right") - pad_neg,
-                0, n_neg_true,
-            )
-            return (sc_t, tp, fpc,
-                    lo.astype(jnp.int32), hi.astype(jnp.int32))
+            return prcurve.thinned_rank_rows(pp, nn, rows_d, n_neg_true)
 
         # lax.map (sequential over seeds) bounds the sort workspace to one
         # seed's pool instead of vmapping M sorts of tens of millions each
@@ -467,7 +424,12 @@ def evaluate_motifs(
     results: list = [None] * len(seed_motifs)
     groups: dict = {}
     for i, m in enumerate(seed_motifs):
-        groups.setdefault((m.W, m.K, m.A), []).append(i)
+        # f_bg joins the key: the fused program shares one f_bg across
+        # the stack, so seeds lifted against different base frequencies
+        # must land in separate groups to match the per-seed path
+        groups.setdefault(
+            (m.W, m.K, m.A, np.asarray(m.f_bg, np.float64).tobytes()), []
+        ).append(i)
     for idxs in groups.values():
         group = [seed_motifs[i] for i in idxs]
         for i, res in zip(idxs, _evaluate_group(
@@ -566,11 +528,7 @@ def _evaluate_group(
         ])
         xs["trans"] = tuple(jnp.asarray(t) for t in trans_f)
         xs["neg_lens"] = jnp.asarray(neg_lens_f)
-        comp_table = np.array(
-            [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
-            dtype=np.int8,
-        )
-        inp["comp_table"] = jnp.asarray(comp_table)
+        inp["comp_table"] = jnp.asarray(encode.comp_table(sset.alphabet))
         n_neg_true = int(
             S * np.maximum(neg_lens_f.astype(np.int64) - W + 1, 0).sum()
         )

@@ -15,6 +15,68 @@ import numpy as np
 from bammmotif2_tpu.scoring.scan import empirical_pvalues
 
 
+def thin_rows(n: int, max_rows: int) -> np.ndarray:
+    """Uniform rank thinning shared by every sweep writer/fetcher."""
+    if n > max_rows:
+        return np.unique(
+            np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64)
+        )
+    return np.arange(max(n, 0), dtype=np.int64)
+
+
+def thinned_rank_rows(pp, nn, rows_d, n_neg: int):
+    """(score, tp, fp, lo, hi) int32 rank rows at thinned descending ranks.
+
+    The single implementation of the tie-block rank reconstruction used
+    by BOTH threshold_sweep_device and the fused FDR program
+    (evaluation.fdr): rows above a tie block are all > s, and within the
+    s tie block every positive precedes every negative (the pos pool
+    concatenates first under the stable-argsort formulation this
+    replaces), so
+        tp(r) = #pos > s_r + clip(r + 1 - #pool > s_r, 0, #pos == s_r)
+        fp(r) = (r + 1) - tp(r)
+    Needs only VALUE sorts plus searchsorted on the thinned rows — the
+    argsort form paid two full-pool gathers (~0.65 s each per 42M on a
+    v5e) and searchsorted with full-pool queries (~17 s per 42M: XLA
+    lowers it to a per-query binary-search loop).  Ranks stay int32 ON
+    DEVICE (exact; caller guards pool < 2^31); the f64 sweep math runs
+    on the host from the fetched integer ranks — f32 ranks would
+    quantize past 2^24 pooled windows.  Pads (-inf) sit below any real
+    score, so thinned rows < n never reach them.
+
+    ``pp``/``nn``: positive/negative pooled scores (may carry -inf
+    pads); ``rows_d``: int32 descending-rank rows; ``n_neg``: true
+    (unpadded) negative count.
+    """
+    import jax.numpy as jnp
+
+    n_tot = int(pp.shape[0] + nn.shape[0])
+    if n_tot >= 2**31:
+        raise ValueError("pooled window count exceeds int32 rank range")
+    pool_sorted = jnp.sort(jnp.concatenate([pp, nn]))  # ascending
+    pos_sorted = jnp.sort(pp)
+    neg_sorted = jnp.sort(nn)  # -inf pads sort FIRST ascending
+    sc_t = pool_sorted[n_tot - 1 - rows_d]  # r-th largest at each row
+    n_pool_gt = (
+        n_tot - jnp.searchsorted(pool_sorted, sc_t, side="right")
+    ).astype(jnp.int32)
+    pos_le = jnp.searchsorted(pos_sorted, sc_t, side="right")
+    pos_lt = jnp.searchsorted(pos_sorted, sc_t, side="left")
+    n_pos_gt = (int(pp.shape[0]) - pos_le).astype(jnp.int32)
+    ties_pos = (pos_le - pos_lt).astype(jnp.int32)
+    r1 = rows_d.astype(jnp.int32) + 1
+    tp = n_pos_gt + jnp.clip(r1 - n_pool_gt, 0, ties_pos)
+    fpc = r1 - tp
+    pad_neg = int(nn.shape[0]) - n_neg
+    lo = jnp.clip(
+        jnp.searchsorted(neg_sorted, sc_t, side="left") - pad_neg, 0, n_neg
+    ).astype(jnp.int32)
+    hi = jnp.clip(
+        jnp.searchsorted(neg_sorted, sc_t, side="right") - pad_neg, 0, n_neg
+    ).astype(jnp.int32)
+    return sc_t, tp, fpc, lo, hi
+
+
 def threshold_sweep_device(
     pos_dev, neg_dev, m_fold: float,
     n_pos: int, n_neg: int, max_rows: int = 100_000,
@@ -38,54 +100,13 @@ def threshold_sweep_device(
     """
     import jax.numpy as jnp
 
-    if pos_dev.size + neg_dev.size >= 2**31:
-        raise ValueError("pooled window count exceeds int32 rank range")
     pp = jnp.asarray(pos_dev, jnp.float32).ravel()
     nn = jnp.asarray(neg_dev, jnp.float32).ravel()
     n = n_pos + n_neg
-    rows = (
-        np.unique(np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64))
-        if n > max_rows
-        else np.arange(n)
+    rows_d = jnp.asarray(thin_rows(n, max_rows), jnp.int32)
+    pool_s, tp_dev, fp_dev, lo_dev, hi_dev = thinned_rank_rows(
+        pp, nn, rows_d, n_neg
     )
-    rows_d = jnp.asarray(rows, jnp.int32)
-
-    # VALUE sorts + tie-block rank reconstruction instead of the stable
-    # argsort + cumsum + gather formulation (identical results: rows above
-    # a tie block are all > s, and within a tie block every positive
-    # precedes every negative because the pos pool concatenates first):
-    #   tp(r) = #pos > s_r + clip(r + 1 - #pool > s_r, 0, #pos == s_r)
-    # The argsort form paid two full-pool gathers (~0.65 s each per 42M on
-    # v5e) and searchsorted with full-pool queries (~17 s per 42M: XLA
-    # lowers it to a per-query binary-search loop); here searchsorted only
-    # ever sees the <= max_rows thinned scores.  Ranks stay int32 ON
-    # DEVICE (exact; pool < 2^31) and the f64 sweep math runs on the host
-    # from the thinned integer ranks — f32 ranks would quantize past 2^24
-    # pooled windows.  Pads (-inf) sit below any real score, so thinned
-    # rows < n never reach them.
-    n_tot = int(pp.size + nn.size)
-    pool_sorted = jnp.sort(jnp.concatenate([pp, nn]))  # ascending
-    pos_sorted = jnp.sort(pp)
-    neg_sorted = jnp.sort(nn)  # -inf pads sort FIRST ascending
-    pool_s = pool_sorted[n_tot - 1 - rows_d]  # r-th largest at each row
-    n_pool_gt = (
-        n_tot - jnp.searchsorted(pool_sorted, pool_s, side="right")
-    ).astype(jnp.int32)
-    pos_le = jnp.searchsorted(pos_sorted, pool_s, side="right")
-    pos_lt = jnp.searchsorted(pos_sorted, pool_s, side="left")
-    n_pos_gt = (pp.size - pos_le).astype(jnp.int32)
-    ties_pos = (pos_le - pos_lt).astype(jnp.int32)
-    r1 = rows_d + 1
-    tp_dev = n_pos_gt + jnp.clip(r1 - n_pool_gt, 0, ties_pos)
-    fp_dev = r1 - tp_dev
-
-    pad_neg = int(nn.size) - n_neg
-    lo_dev = jnp.clip(
-        jnp.searchsorted(neg_sorted, pool_s, side="left") - pad_neg, 0, n_neg
-    ).astype(jnp.int32)
-    hi_dev = jnp.clip(
-        jnp.searchsorted(neg_sorted, pool_s, side="right") - pad_neg, 0, n_neg
-    ).astype(jnp.int32)
 
     m = m_fold if m_fold > 0 else 1
     tp_h = np.asarray(tp_dev, np.float64)

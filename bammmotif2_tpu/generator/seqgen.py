@@ -161,10 +161,9 @@ def generate_neg_data(
         if pad_len < L:
             raise ValueError(f"pad_len {pad_len} < max sampled length {L}")
         L = pad_len
-    table = np.array(
-        [bg_fit.alphabet.letters.index(c) for c in bg_fit.alphabet.complements],
-        dtype=np.int8,
-    )
+    from bammmotif2_tpu.ops import encode as encode_mod
+
+    table = encode_mod.comp_table(bg_fit.alphabet)
     cidx = _sample_encode(
         jax.random.PRNGKey(seed),
         tuple(jnp.asarray(v, jnp.float32) for v in bg_fit.v),

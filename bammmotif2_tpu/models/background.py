@@ -71,13 +71,10 @@ class BackgroundModel:
         # FDR fold loop fits one background per fold)
         strands = [np.asarray(sset.codes)]
         if not ss:
-            table = np.array(
-                [sset.alphabet.letters.index(c)
-                 for c in sset.alphabet.complements],
-                dtype=np.int8,
-            )
             strands.append(
-                encode.revcomp_codes(sset.codes, sset.lens, table)
+                encode.revcomp_codes(
+                    sset.codes, sset.lens, encode.comp_table(sset.alphabet)
+                )
             )
         flat = np.concatenate([
             encode.combined_kmer_index_np(c, A, order).ravel()

@@ -160,6 +160,16 @@ def map_base5_to_combined(A: int, K: int) -> np.ndarray:
     return out
 
 
+def comp_table(alphabet) -> np.ndarray:
+    """int8 complement lookup table for an Alphabet (letter i -> index of
+    its complement letter) — the one shared construction for every
+    reverse-complement site (host, device, sampling, scanning)."""
+    return np.array(
+        [alphabet.letters.index(c) for c in alphabet.complements],
+        dtype=np.int8,
+    )
+
+
 def revcomp_codes(codes: np.ndarray, lens: np.ndarray, comp_table: np.ndarray) -> np.ndarray:
     """Host-side reverse complement of a padded code batch.
 
@@ -208,12 +218,11 @@ def _strand_codes(sset: SequenceSet, ss: bool) -> list:
     codes = jnp.asarray(sset.codes)
     out = [codes]
     if not ss:
-        table = np.array(
-            [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
-            dtype=np.int8,
-        )
         out.append(
-            revcomp_codes_device(codes, jnp.asarray(sset.lens), jnp.asarray(table))
+            revcomp_codes_device(
+                codes, jnp.asarray(sset.lens),
+                jnp.asarray(comp_table(sset.alphabet)),
+            )
         )
     return out
 

@@ -110,6 +110,8 @@ def prepare_data(sset: SequenceSet, bg: BackgroundModel, K: int, ss: bool) -> di
     cache = sset.__dict__.setdefault("_em_data_cache", {})
     hit = cache.get((K, ss))
     if hit is None:
+        while len(cache) >= 2:  # bound pinned HBM: keep the 2 newest K's
+            cache.pop(next(iter(cache)))
         cidx, lens = encode.strand_indices(sset, K, ss)
         hit = cache[(K, ss)] = (cidx, lens)
     return {

@@ -55,9 +55,13 @@ def run_em_multi(
 
     groups: dict = {}
     for i, m in enumerate(motifs):
-        groups.setdefault((m.W, m.K), []).append(i)
+        # f_bg joins the key: the batched program shares one f_bg across
+        # the stack (cf. evaluate_motifs)
+        groups.setdefault(
+            (m.W, m.K, np.asarray(m.f_bg, np.float64).tobytes()), []
+        ).append(i)
 
-    for (W, K), idxs in groups.items():
+    for (W, K, _fbg), idxs in groups.items():
         group = [motifs[i] for i in idxs]
         A = group[0].A
         data = prepare_data(sset, bg, K, params.ss)

@@ -217,18 +217,17 @@ def _device_codes(sset: SequenceSet, B: int):
     hit = cache.get(B)
     if hit is not None:
         return hit
+    while len(cache) >= 2:  # bound pinned HBM: keep the 2 newest batchings
+        cache.pop(next(iter(cache)))
     N = sset.n
     L = sset.codes.shape[1] if N else 0
     n_chunks = -(-N // B) if N else 0
     pad = n_chunks * B - N
     codes = np.pad(sset.codes, ((0, pad), (0, 0)), constant_values=PAD)
     lens = np.pad(sset.lens.astype(np.int32), (0, pad))
-    table = np.array(
-        [sset.alphabet.letters.index(c) for c in sset.alphabet.complements],
-        dtype=np.int8,
-    )
     out = (
-        jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(table), n_chunks
+        jnp.asarray(codes), jnp.asarray(lens),
+        jnp.asarray(encode.comp_table(sset.alphabet)), n_chunks
     )
     cache[B] = out
     return out
@@ -513,14 +512,16 @@ def write_logodds(
             sc_h = np.asarray(sc)          # [S, n, n_win]
             mk_h = np.asarray(mask)        # [n, n_win]
             S, n, n_win = sc_h.shape
+            # strand-independent extraction, hoisted (the header
+            # list-to-array conversion alone is O(N) per call)
+            ni, wi = np.nonzero(mk_h)
+            if ni.size == 0:
+                continue
+            lens_r = sset.lens[row0 + ni]
+            heads = np.asarray(sset.headers, object)[row0 + ni]
             for s in range(S):
-                ni, wi = np.nonzero(mk_h)
-                if ni.size == 0:
-                    continue
                 scores = sc_h[s, ni, wi]
-                lens_r = sset.lens[row0 + ni]
                 starts = wi if s == 0 else lens_r - W - wi
-                heads = np.asarray(sset.headers, object)[row0 + ni]
                 strand = "+" if s == 0 else "-"
                 lines = [
                     f"{h}\t{strand}\t{int(st) + 1}\t{sc:.6g}\n"

@@ -184,7 +184,7 @@ def time_scan() -> float:
     jax.block_until_ready(loop(s_flat, N_TIMED_ITERS))  # compile + warm
     dt = min(
         _timed(lambda: jax.block_until_ready(loop(s_flat, N_TIMED_ITERS)))
-        for _ in range(3)
+        for _ in range(5)  # scan runs are short; 5 rounds tame tunnel noise
     )
     return n_win * N_TIMED_ITERS / dt
 

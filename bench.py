@@ -342,6 +342,19 @@ def main():
         out["cgs_windows_per_sec"] = round(cgs_wps)
     if cgs3_wps:
         out["cgs3_agg_windows_per_sec"] = round(cgs3_wps)
+    # end-to-end headline from the last config-4 artifact (full pipeline
+    # runs are too long for the bench loop; tools/config4_bench.py
+    # refreshes the measurement)
+    c4 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "CONFIG4.json")
+    if os.path.exists(c4):
+        try:
+            with open(c4) as f:
+                art = json.load(f)
+            out["config4_warm_wall_s"] = art["wall_warm_run_s"]
+            out["config4_measured_at"] = art["timestamp"]
+        except Exception:
+            pass
     print(json.dumps(out))
 
 

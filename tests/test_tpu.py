@@ -225,3 +225,51 @@ class TestCGSOnChip:
             consensus = "".join("ACGT"[i] for i in m.v[0].argmax(axis=0))
             assert consensus == motif_str, consensus
             assert np.all(m.alphas > 0)
+
+
+@pytest.mark.tpu
+class TestFusedFDROnChip:
+    def test_fused_matches_per_seed_on_hardware(self):
+        """Fused group FDR vs the per-seed path with the COMPILED Pallas
+        kernels — the CPU suite can only pin this parity on the gather
+        path, and compiled-Mosaic behavior (bf16 defaults, layouts) is
+        exactly the bug class this lane exists for."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_em import planted_set
+
+        from bammmotif2_tpu.evaluation.fdr import (
+            evaluate_motif, evaluate_motifs,
+        )
+        from bammmotif2_tpu.models import seeds as seeds_mod
+        from bammmotif2_tpu.models.background import BackgroundModel
+        from bammmotif2_tpu.utils.config import Params
+
+        motif_str = "TGACTCAG"
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            sset = planted_set(n=120, l=60, motif=motif_str, q=0.85,
+                               noise=0.05)
+            bg = BackgroundModel.from_sequence_set(sset, order=2)
+
+        def mk(soft):
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(motif_str, soft=soft), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+
+        params = Params(FDR=True, cvFold=2, mFold=2, q=0.5,
+                        maxEMIterations=10)
+        ref = [evaluate_motif(mk(s), bg, sset, params) for s in (0.55, 0.7)]
+        new = evaluate_motifs([mk(0.55), mk(0.7)], bg, sset, params)
+        for i, (r, n) in enumerate(zip(ref, new)):
+            for k in ("score", "tp", "fp", "pvalue"):
+                np.testing.assert_allclose(
+                    r.zoops[k], n.zoops[k], rtol=1e-3, atol=1e-4,
+                    err_msg=f"zoops {k} motif {i}",
+                )
+                np.testing.assert_allclose(
+                    r.mops[k], n.mops[k], rtol=1e-3, atol=1e-4,
+                    err_msg=f"mops {k} motif {i}",
+                )

@@ -15,8 +15,14 @@ bytes) is retained on device only when it fits a fixed budget
 HBM usage stays bounded by one chunk regardless of N.
 
 p-value convention (SURVEY.md 2.9): for a score s against M sorted negative
-scores, p(s) = (#neg >= s + 1) / (M + 1), with linear interpolation between
-adjacent negative scores; e-value = p * (#windows scanned in the dataset).
+scores, p(s) = (M - frac(s) + 1) / (M + 1) with frac = #neg < s, except
+inside a tie block where frac is the block's midpoint rank (so tied
+negatives don't quantize small p-values); e-value = p * (#windows scanned
+in the dataset).  Pinned deviation: the survey's "linear interpolation
+between adjacent negative scores" is tagged [MED] and unverifiable against
+the empty reference mount — rank-midpoint is the shipped convention (one
+implementation: ``_pvalues_from_ranks``) and sits on the golden-harness
+compare list (tools/golden_harness.py).
 """
 
 from __future__ import annotations
@@ -77,6 +83,9 @@ class ScanResult:
         prefer iter_chunks / the on-device reductions.
         """
         chunks = list(self.iter_chunks())
+        if not chunks:
+            S = 1 if self.max_scores.size == 0 else 2
+            return np.zeros((S, self.max_scores.size, 0), np.float32)
         n_win_max = max(c[1].shape[2] for c in chunks)
 
         def padw(x, fill):
@@ -93,6 +102,8 @@ class ScanResult:
     @property
     def mask(self) -> np.ndarray:
         chunks = list(self.iter_chunks())
+        if not chunks:
+            return np.zeros((self.max_scores.size, 0), bool)
         n_win_max = max(c[2].shape[1] for c in chunks)
 
         def padw(x):
@@ -119,18 +130,20 @@ class ScanResult:
         genome-scale negative pool (hundreds of MB at 100k seqs × mFold)
         stays on the chip instead of round-tripping through the host the
         way ``all_window_scores()`` does.
+
+        Peak device memory is bounded by the POOL size (irreducible — the
+        sorted pool is the product) plus one chunk and the sort
+        workspace, not by all chunks at once: chunks fold into the
+        accumulator one at a time so their buffers free as the iteration
+        advances.
         """
-        parts = [
-            jnp.where(
+        pool = None
+        for _row0, sc, m in self.iter_chunks():
+            part = jnp.where(
                 jnp.broadcast_to(m[None], jnp.shape(sc)), sc, escore.NEG_INF
             ).ravel()
-            for _row0, sc, m in self.iter_chunks()
-        ]
-        pool = jnp.sort(
-            jnp.concatenate(parts)
-            if parts
-            else jnp.zeros(0, jnp.float32)
-        )
+            pool = part if pool is None else jnp.concatenate([pool, part])
+        pool = jnp.sort(pool if pool is not None else jnp.zeros(0, jnp.float32))
         return pool, self.n_windows
 
 
@@ -146,8 +159,6 @@ def _stacked_luts(motifs: list, bg: BackgroundModel) -> jnp.ndarray:
 
 
 def _use_pallas(K: int, A: int) -> bool:
-    import jax
-
     if jax.default_backend() != "tpu":
         return False
     from bammmotif2_tpu.ops import pallas_em
@@ -260,12 +271,29 @@ def score_set_multi(
     """
     M = len(motifs)
     K, W, A = motifs[0].K, motifs[0].W, motifs[0].A
-    s_flat = _stacked_luts(motifs, bg)
-    use_pallas = _use_pallas(K, A)
     S = 1 if ss else 2
     N = sset.n
-    n_win_est = max(int(sset.lens.max(initial=0)) - W + 1, 1)
-    retain = 4 * M * S * N * n_win_est <= keep_bytes
+    L_pad = sset.codes.shape[1] if N else 0
+    if N == 0 or L_pad < W:
+        # no sequence can host a window (or the set is empty): empty
+        # results instead of a trace-time shape error inside the chunk
+        # program (n_win would be <= 0)
+        return [
+            ScanResult(
+                max_scores=np.full(N, escore.NEG_INF, np.float32),
+                n_windows=0, W=W, _chunks=[], _mi=i,
+            )
+            for i in range(M)
+        ]
+    s_flat = _stacked_luts(motifs, bg)
+    use_pallas = _use_pallas(K, A)
+    # the retained tensors' window axis is set by the PADDED length (every
+    # chunk is [M, S, n, L_pad - W + 1]), not by lens.max(): a subset of
+    # short rows from a wide-padded set would otherwise under-estimate by
+    # orders of magnitude and blow HBM at exactly the scale the budget
+    # exists to prevent
+    n_win_pad = L_pad - W + 1
+    retain = 4 * M * S * N * n_win_pad <= keep_bytes
 
     B = max(1, min(batch, N)) if N else 1
     codes_dev, lens_dev, comp_dev, n_chunks = _device_codes(sset, B)
@@ -296,13 +324,11 @@ def score_set_multi(
         # all-M rescans would make the CLI's per-motif occurrence loop
         # O(M^2) scoring passes at exactly the genome scale streaming
         # targets (advisor r4 finding)
-        solo_statics = dict(statics)
-
         def rescan():
             sf = s_flat[i : i + 1]
             for ci in range(n_chunks):
                 sc, mk, _mx, _cnt = _score_chunk_device(
-                    sf, codes_dev, lens_dev, comp_dev, ci * B, **solo_statics
+                    sf, codes_dev, lens_dev, comp_dev, ci * B, **statics
                 )
                 n = min(B, N - ci * B)
                 if n < B:
@@ -345,13 +371,28 @@ def score_set(
     )[0]
 
 
+def _pvalues_from_ranks(lo: np.ndarray, hi: np.ndarray, M: int) -> np.ndarray:
+    """p-values from integer negative-pool ranks, float64 host math.
+
+    ``lo`` = #neg strictly below s, ``hi`` = #neg <= s: frac is lo except
+    inside a tie block, where the block's midpoint rank is used so tied
+    negatives don't quantize small p-values (the shipped convention —
+    module docstring; the ONE implementation behind empirical_pvalues and
+    find_occurrences).
+    """
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    frac = np.where(hi > lo, 0.5 * (lo + hi), lo)
+    p = (M - frac + 1.0) / (M + 1.0)
+    return np.clip(p, 1.0 / (M + 1.0), 1.0)
+
+
 def empirical_pvalues(scores: np.ndarray, neg_scores: np.ndarray) -> np.ndarray:
     """Empirical p-values by rank against a negative score sample.
 
     Parity: ``ScoreSeqSet::calcPvalues``.  With Sn = sorted negative scores
-    (ascending, size M): p(s) = (M - rank_hi(s) + 1) / (M + 1) where
-    rank_hi = #neg < s, linearly interpolated between neighboring negative
-    scores so ties don't quantize small p-values.
+    (ascending, size M): p(s) = (M - frac(s) + 1) / (M + 1) with frac the
+    rank convention of ``_pvalues_from_ranks``.
     """
     neg = np.sort(np.asarray(neg_scores, np.float64))
     M = neg.size
@@ -360,10 +401,7 @@ def empirical_pvalues(scores: np.ndarray, neg_scores: np.ndarray) -> np.ndarray:
     s = np.asarray(scores, np.float64)
     lo = np.searchsorted(neg, s, side="left")    # #neg strictly below s
     hi = np.searchsorted(neg, s, side="right")   # #neg <= s
-    # interpolate within the tie block / between neighbors
-    frac = np.where(hi > lo, 0.5 * (lo + hi), lo).astype(np.float64)
-    p = (M - frac + 1.0) / (M + 1.0)
-    return np.clip(p, 1.0 / (M + 1.0), 1.0)
+    return _pvalues_from_ranks(lo, hi, M)
 
 
 @dataclasses.dataclass
@@ -412,6 +450,9 @@ def find_occurrences(
         neg = jnp.sort(jnp.asarray(neg_scores, jnp.float32))
         M = int(neg.size)
         pad = 0
+    if int(neg.size) >= 2**31:
+        # device searchsorted ranks are int32 (cf. prcurve.thinned_rank_rows)
+        raise ValueError("negative window pool exceeds int32 rank range")
 
     if M > 0 and pval_cutoff < 1.0 / (M + 1.0):
         return []  # pv is clipped to >= 1/(M+1): nothing can pass
@@ -447,10 +488,7 @@ def find_occurrences(
         # exact f64 host math from the int32 ranks — on-device f32 frac
         # quantizes past 2^24 pooled negatives (fine for the cutoff
         # prefilter, not for the written deep-tail values)
-        lo_h = np.asarray(lo, np.float64)
-        hi_h = np.asarray(hi, np.float64)
-        frac_h = np.where(hi_h > lo_h, 0.5 * (lo_h + hi_h), lo_h)
-        pv_c = np.clip((M - frac_h + 1.0) / (M + 1.0), 1.0 / (M + 1.0), 1.0)
+        pv_c = _pvalues_from_ranks(np.asarray(lo), np.asarray(hi), M)
         keep = pv_c <= pval_cutoff
         if not keep.any():
             continue

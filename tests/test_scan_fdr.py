@@ -741,3 +741,46 @@ class TestFusedFDRVariableLengths:
         np.testing.assert_allclose(
             ref.pos_pvalues, new.pos_pvalues, rtol=1e-5, atol=1e-8
         )
+
+
+class TestScanEdgeCases:
+    def test_motif_wider_than_set(self, trained):
+        """W > every sequence's (padded) length: empty results, not a
+        trace-time shape error inside the chunk program."""
+        _, bg, _ = trained
+        short = SequenceSet.from_sequences(["ACGTACGTACGT"])  # len 12
+        m = seeds_mod.motif_from_pwm(
+            seeds_mod.iupac_to_pwm("TGACTCAGTGACTCAGTGAC", soft=0.6), K=2,
+            f_bg=short.base_frequencies(),
+        )  # W=20 > 12
+        res = scan.score_set(m, bg, short)
+        assert res.n_windows == 0
+        assert res.max_scores.shape == (1,)
+        assert scan.find_occurrences(res, short, np.zeros(10), 0.01) == []
+
+    def test_empty_set(self, trained):
+        _, bg, m = trained
+        empty = SequenceSet.from_sequences([])
+        res = scan.score_set(m, bg, empty)
+        assert res.n_windows == 0 and res.max_scores.size == 0
+        assert res.scores.shape[1] == 0
+        assert res.mask.shape[0] == 0
+        assert res.all_window_scores().size == 0
+
+    def test_budget_uses_padded_width(self, trained):
+        """The retain budget must count the PADDED window axis: a subset
+        of short rows from a wide-padded set streams when the padded
+        tensors exceed the budget even though lens.max() is small."""
+        sset, bg, m = trained
+        wide = np.full((300, 4000), -2, np.int8)
+        wide[:, :30] = np.random.default_rng(0).integers(0, 4, (300, 30))
+        short_wide = SequenceSet(
+            codes=wide, lens=np.full(300, 30, np.int32),
+            headers=[f"s{i}" for i in range(300)],
+            alphabet=sset.alphabet,
+        )
+        # padded chunks: 2 * 300 * (4000-8+1) * 4B = 9.6 MB > budget 1 MB,
+        # while the lens-based estimate (30-8+1 windows) would say retain
+        res = scan.score_set(m, bg, short_wide, keep_bytes=1 << 20)
+        assert res._chunks is None and res._rescan is not None
+        assert res.n_windows == 300 * (30 - m.W + 1) * 2

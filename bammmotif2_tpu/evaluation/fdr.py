@@ -79,11 +79,7 @@ def _write_stats(path: str, sweep: dict, max_rows: int = MAX_STATS_ROWS) -> None
     and AvRec from the thinned curve matches the full sweep to ~1e-3.
     """
     n = len(sweep["score"])
-    idx = (
-        np.unique(np.round(np.linspace(0, n - 1, max_rows)).astype(np.int64))
-        if n > max_rows
-        else range(n)
-    )
+    idx = prcurve.thin_rows(n, max_rows)
     with open(path, "w") as fh:
         fh.write("score\tTP\tFP\tprecision\trecall\tp-value\n")
         for i in idx:
@@ -221,35 +217,12 @@ def _group_fdr_program(
         batched = multi_mod.make_batched_step(A, K, W, optimize_q, path)
 
         def refine_fn(v0, q0, alphas, f_bg, tdata, n_train, epsilon, keys0):
-            def cond(state):
-                _v, _q, _lls, vds, its = state
-                return (jnp.max(its) < max_iters) & (jnp.max(vds) >= epsilon)
-
-            def body(state):
-                v, q, lls, vds, its = state
-                active = vds >= epsilon
-                v2, q2, ll2, vd2 = batched(v, q, tdata, alphas, f_bg, n_train)
-                vd_eff = jnp.minimum(vd2, jnp.abs(ll2 - lls))
-
-                def keep(new, old):
-                    ax = (slice(None),) + (None,) * (new.ndim - 1)
-                    return jnp.where(active[ax], new, old)
-
-                return (
-                    tuple(keep(a, b) for a, b in zip(v2, v)),
-                    jnp.where(active, q2, q),
-                    jnp.where(active, ll2, lls),
-                    jnp.where(active, vd_eff, vds),
-                    its + active.astype(jnp.int32),
-                )
-
-            state = (
-                v0, q0,
-                jnp.full((M,), -jnp.inf, jnp.float32),
-                jnp.full((M,), jnp.inf, jnp.float32),
-                jnp.zeros((M,), jnp.int32),
+            # the ONE batched convergence loop (multi.batched_while_loop)
+            # — any change to the stop rule stays in sync with run_em_multi
+            v, _q, _lls, _vds, _its, _h = multi_mod.batched_while_loop(
+                batched, v0, q0, tdata, alphas, f_bg, n_train, epsilon,
+                max_iters,
             )
-            v, _q, _lls, _vds, _its = jax.lax.while_loop(cond, body, state)
             return v
 
     elif refine == "CGS":
@@ -365,28 +338,12 @@ def _group_fdr_program(
 
 def _mops_from_ranks(sw, m: int, m_fold_eff: float,
                      n_pos_true: int, n_neg_true: int) -> dict:
-    """Host float64 sweep table from the fetched int32 device ranks."""
-    score = np.asarray(sw[0][m], np.float64)
-    tp = np.asarray(sw[1][m], np.float64)
-    fp = np.asarray(sw[2][m], np.float64) / (m_fold_eff if m_fold_eff > 0 else 1)
-    lo = np.asarray(sw[3][m], np.float64)
-    hi = np.asarray(sw[4][m], np.float64)
-    frac = np.where(hi > lo, 0.5 * (lo + hi), lo)
-    if n_neg_true > 0:
-        pv = np.clip(
-            (n_neg_true - frac + 1.0) / (n_neg_true + 1.0),
-            1.0 / (n_neg_true + 1.0), 1.0,
-        )
-    else:
-        pv = np.ones_like(score)
-    return {
-        "score": score,
-        "tp": tp,
-        "fp": fp,
-        "precision": tp / np.maximum(tp + fp, 1e-30),
-        "recall": tp / max(n_pos_true, 1),
-        "pvalue": pv,
-    }
+    """Host float64 sweep table from the fetched int32 device ranks
+    (one implementation: prcurve.sweep_from_ranks)."""
+    return prcurve.sweep_from_ranks(
+        sw[0][m], sw[1][m], sw[2][m], sw[3][m], sw[4][m],
+        m_fold_eff, n_pos_true, n_neg_true,
+    )
 
 
 def evaluate_motifs(
@@ -409,6 +366,10 @@ def evaluate_motifs(
 
     Falls back to the per-seed path when cvFold < 2 (the fused program's
     fold scan needs at least one real train/test split).
+
+    ``refine``: 'EM', 'CGS', or 'none' (score the seeds as-is, no
+    per-fold refinement); None (the default) derives the engine from
+    ``params`` (CGS when params.CGS else EM).
     """
     params = params or Params(FDR=True)
     if refine is None:
@@ -533,9 +494,11 @@ def _evaluate_group(
             S * np.maximum(neg_lens_f.astype(np.int64) - W + 1, 0).sum()
         )
         n_neg_gather = 0
-        neg_real_rows = [
-            int((neg_lens_f[f] > 0).sum()) for f in range(F)
-        ]
+        # rows with real sampled negatives, BY INDEX: a zero-length
+        # positive row tiles into interior zero-length negative rows, so
+        # a prefix slice would keep NEG_INF rows and drop real tail rows
+        # (the per-seed path selects by neg_lens > 0 the same way)
+        neg_keep = [np.nonzero(neg_lens_f[f] > 0)[0] for f in range(F)]
     else:
         neg_data = prepare_data(neg_set, bg, K, params.ss)
         neg_lens_np = np.asarray(neg_set.lens, np.int32)
@@ -555,7 +518,9 @@ def _evaluate_group(
         n_neg_true = int(
             S * np.maximum(neg_lens_np.astype(np.int64) - W + 1, 0).sum()
         )
-        neg_real_rows = [int((neg_fold_of == f).sum()) for f in range(F)]
+        neg_keep = [
+            np.arange(int((neg_fold_of == f).sum())) for f in range(F)
+        ]
 
     cgs_statics = (
         not params.noZSampling, not params.noQSampling,
@@ -589,7 +554,7 @@ def _evaluate_group(
             [pos_z[f, m, : int(fold_sizes[f])] for f in range(F)]
         )
         nz = np.concatenate(
-            [neg_z[f, m, : neg_real_rows[f]] for f in range(F)]
+            [neg_z[f, m, neg_keep[f]] for f in range(F)]
         )
         results.append(FDRResult(
             zoops=prcurve.threshold_sweep(pz, nz, m_fold_eff),
@@ -610,8 +575,12 @@ def evaluate_motif(
 ) -> FDRResult:
     """k-fold CV FDR analysis (``FDR::evaluateMotif``).
 
-    ``refine``: 'EM' (default), 'CGS', or None (score the seed as-is).
-    Folds are assigned round-robin by sequence index (deterministic).
+    ``refine``: 'EM', 'CGS', or 'none' (score the seed as-is); None (the
+    default) derives the engine from ``params``.  Folds are assigned
+    round-robin by sequence index (deterministic); pooled outputs
+    (``pos_pvalues``, the sweep score pools) are therefore in fold-major
+    order — sequences [0, F, 2F, ...] then [1, F+1, ...] — not input
+    order.
 
     ``neg_set``: user-provided negatives (``--negSeqFile``).  When given,
     they are folded round-robin like the positives and the held-out
@@ -623,6 +592,11 @@ def evaluate_motif(
     params = params or Params(FDR=True)
     if refine is None:
         refine = "CGS" if params.CGS else "EM"
+    if sset.n == 0:
+        empty = np.zeros(0)
+        sweep = prcurve.threshold_sweep(empty, empty, max(params.mFold, 1))
+        return FDRResult(zoops=sweep, mops=dict(sweep),
+                         pos_pvalues=empty, m_fold=params.mFold)
     n_folds = max(1, params.cvFold)
     fold_of = np.arange(sset.n) % n_folds
 

@@ -107,12 +107,22 @@ def threshold_sweep_device(
     pool_s, tp_dev, fp_dev, lo_dev, hi_dev = thinned_rank_rows(
         pp, nn, rows_d, n_neg
     )
+    return sweep_from_ranks(
+        pool_s, tp_dev, fp_dev, lo_dev, hi_dev, m_fold, n_pos, n_neg
+    )
 
+
+def sweep_from_ranks(score, tp, fpc, lo, hi,
+                     m_fold: float, n_pos: int, n_neg: int) -> dict:
+    """float64 host sweep table from fetched integer ranks — the ONE
+    implementation behind threshold_sweep_device and the fused FDR MOPS
+    path (evaluation.fdr).  Tie p-values use the rank-midpoint convention
+    (scoring.scan._pvalues_from_ranks documents it)."""
     m = m_fold if m_fold > 0 else 1
-    tp_h = np.asarray(tp_dev, np.float64)
-    fp_h = np.asarray(fp_dev, np.float64) / m
-    lo = np.asarray(lo_dev, np.float64)
-    hi = np.asarray(hi_dev, np.float64)
+    tp_h = np.asarray(tp, np.float64)
+    fp_h = np.asarray(fpc, np.float64) / m
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
     frac = np.where(hi > lo, 0.5 * (lo + hi), lo)
     if n_neg > 0:
         pv = np.clip(
@@ -120,15 +130,14 @@ def threshold_sweep_device(
         )
     else:
         pv = np.ones_like(frac)
-    out = {
-        "score": np.asarray(pool_s, np.float64),
+    return {
+        "score": np.asarray(score, np.float64),
         "tp": tp_h,
         "fp": fp_h,
         "precision": tp_h / np.maximum(tp_h + fp_h, 1e-30),
         "recall": tp_h / max(n_pos, 1),
         "pvalue": pv,
     }
-    return out
 
 
 def threshold_sweep(pos: np.ndarray, neg: np.ndarray, m_fold: float) -> dict:

@@ -285,6 +285,60 @@ def make_batched_step(A: int, K: int, W: int, optimize_q: bool, path: str,
     return batched
 
 
+def batched_while_loop(batched, v0, q0, data, alphas, f_bg, n_real,
+                       epsilon, max_iters: int,
+                       n_hist_slots: int = 0, hist_stride: int = 1):
+    """The batched EM convergence loop — ONE implementation.
+
+    Shared by _batched_optimize (run_em_multi) and the fused FDR group
+    program (evaluation.fdr), so the stop rule (per-seed freeze on
+    v_diff OR |dll| under epsilon, group exit when all froze or the cap
+    hits) cannot drift between the two paths the parity tests pin
+    against each other.  ``n_hist_slots > 0`` additionally carries the
+    ll-trace buffer (one slot per ``hist_stride`` iterations, last write
+    wins).  Returns (v, q, lls, vds, its, hist [n_hist_slots, M]).
+    """
+    M = q0.shape[0]
+
+    def cond(state):
+        _v, _q, _lls, vds, its, _h = state
+        return (jnp.max(its) < max_iters) & (jnp.max(vds) >= epsilon)
+
+    def body(state):
+        v, q, lls, vds, its, hist = state
+        active = vds >= epsilon
+        v2, q2, ll2, vd2 = batched(v, q, data, alphas, f_bg, n_real)
+        vd_eff = jnp.minimum(vd2, jnp.abs(ll2 - lls))
+
+        def keep(new, old):
+            ax = (slice(None),) + (None,) * (new.ndim - 1)
+            return jnp.where(active[ax], new, old)
+
+        v = tuple(keep(a, b) for a, b in zip(v2, v))
+        if n_hist_slots > 0:
+            slot = jnp.minimum(its // hist_stride, n_hist_slots - 1)
+            hist = hist.at[slot, jnp.arange(M)].set(
+                jnp.where(active, ll2, hist[slot, jnp.arange(M)])
+            )
+        return (
+            v,
+            jnp.where(active, q2, q),
+            jnp.where(active, ll2, lls),
+            jnp.where(active, vd_eff, vds),
+            its + active.astype(jnp.int32),
+            hist,
+        )
+
+    state = (
+        v0, q0,
+        jnp.full((M,), -jnp.inf, jnp.float32),
+        jnp.full((M,), jnp.inf, jnp.float32),
+        jnp.zeros((M,), jnp.int32),
+        jnp.full((max(n_hist_slots, 1), M), jnp.nan, jnp.float32),
+    )
+    return jax.lax.while_loop(cond, body, state)
+
+
 @functools.lru_cache(maxsize=64)
 def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
                       max_iters: int, mesh=None):
@@ -313,43 +367,9 @@ def _batched_optimize(A: int, K: int, W: int, optimize_q: bool, path: str,
 
     @jax.jit
     def loop(v, q, data, alphas, f_bg, n_real, epsilon):
-        M = q.shape[0]
-
-        def cond(state):
-            v, q, lls, vds, its, hist = state
-            return (jnp.max(its) < max_iters) & (jnp.max(vds) >= epsilon)
-
-        def body(state):
-            v, q, lls, vds, its, hist = state
-            active = vds >= epsilon
-            v2, q2, ll2, vd2 = batched(v, q, data, alphas, f_bg, n_real)
-            vd_eff = jnp.minimum(vd2, jnp.abs(ll2 - lls))
-
-            def keep(new, old):
-                ax = (slice(None),) + (None,) * (new.ndim - 1)
-                return jnp.where(active[ax], new, old)
-
-            v = tuple(keep(a, b) for a, b in zip(v2, v))
-            slot = jnp.minimum(its // stride, n_slots - 1)
-            hist = hist.at[slot, jnp.arange(M)].set(
-                jnp.where(active, ll2, hist[slot, jnp.arange(M)])
-            )
-            return (
-                v,
-                jnp.where(active, q2, q),
-                jnp.where(active, ll2, lls),
-                jnp.where(active, vd_eff, vds),
-                its + active.astype(jnp.int32),
-                hist,
-            )
-
-        state = (
-            v, q,
-            jnp.full((M,), -jnp.inf, jnp.float32),
-            jnp.full((M,), jnp.inf, jnp.float32),
-            jnp.zeros((M,), jnp.int32),
-            jnp.full((n_slots, M), jnp.nan, jnp.float32),
+        return batched_while_loop(
+            batched, v, q, data, alphas, f_bg, n_real, epsilon,
+            max_iters, n_hist_slots=n_slots, hist_stride=stride,
         )
-        return jax.lax.while_loop(cond, body, state)
 
     return loop, stride

@@ -784,3 +784,81 @@ class TestScanEdgeCases:
         res = scan.score_set(m, bg, short_wide, keep_bytes=1 << 20)
         assert res._chunks is None and res._rescan is not None
         assert res.n_windows == 300 * (30 - m.W + 1) * 2
+
+
+class TestFDRRobustness:
+    def test_zero_length_positive_rows_parity(self):
+        """A zero-length positive row tiles into INTERIOR zero-length
+        sampled-negative rows; the fused path must select real negative
+        rows by index, not by prefix (regression: a prefix slice kept
+        NEG_INF rows and dropped real tail scores)."""
+        from bammmotif2_tpu.evaluation.fdr import (
+            evaluate_motif, evaluate_motifs,
+        )
+        from bammmotif2_tpu.utils.alphabet import Alphabet
+
+        rng = np.random.default_rng(5)
+        N, L = 40, 50
+        codes = np.full((N, L), -2, np.int8)
+        lens = np.full(N, L, np.int32)
+        lens[2] = 0   # empty record in fold 2 % F
+        lens[7] = 0
+        for i in range(N):
+            codes[i, : lens[i]] = rng.integers(0, 4, lens[i])
+        sset = SequenceSet(codes=codes, lens=lens,
+                           headers=[f"s{i}" for i in range(N)],
+                           alphabet=Alphabet.standard())
+        bg = BackgroundModel.from_sequence_set(sset, order=1)
+
+        def mk():
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=1,
+                f_bg=sset.base_frequencies(),
+            )
+
+        params = Params(FDR=True, cvFold=3, mFold=2, q=0.5, sOrder=1,
+                        maxEMIterations=6, use_pallas=False)
+        ref = evaluate_motif(mk(), bg, sset, params)
+        new = evaluate_motifs([mk()], bg, sset, params)[0]
+        for k in ("score", "tp", "fp", "pvalue"):
+            np.testing.assert_allclose(
+                ref.zoops[k], new.zoops[k], rtol=1e-4, atol=1e-6,
+                err_msg=f"zoops {k}",
+            )
+            np.testing.assert_allclose(
+                ref.mops[k], new.mops[k], rtol=1e-5, atol=1e-7,
+                err_msg=f"mops {k}",
+            )
+
+    def test_refine_none_scores_seed_as_is(self, trained):
+        from bammmotif2_tpu.evaluation.fdr import (
+            evaluate_motif, evaluate_motifs,
+        )
+
+        sset, bg, _ = trained
+        params = Params(FDR=True, cvFold=2, mFold=2, q=0.5,
+                        use_pallas=False)
+
+        def mk():
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(MOTIF, soft=0.6), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+
+        ref = evaluate_motif(mk(), bg, sset, params, refine="none")
+        new = evaluate_motifs([mk()], bg, sset, params, refine="none")[0]
+        np.testing.assert_allclose(ref.zoops["score"], new.zoops["score"],
+                                   rtol=1e-5)
+        # the unrefined seed must differ from the EM-refined evaluation
+        refined = evaluate_motif(mk(), bg, sset, params, refine="EM")
+        assert not np.allclose(ref.zoops["score"], refined.zoops["score"])
+
+    def test_empty_set(self, trained):
+        from bammmotif2_tpu.evaluation.fdr import evaluate_motif
+
+        _, bg, m = trained
+        empty = SequenceSet.from_sequences([])
+        res = evaluate_motif(m, bg, empty, Params(FDR=True, cvFold=3,
+                                                  use_pallas=False))
+        assert res.pos_pvalues.size == 0
+        assert res.zoops["score"].size == 0

@@ -26,9 +26,12 @@ Per iteration:
      alpha is Dirichlet-multinomial with prior mean = the lower-order
      conditionals (total concentration per context = alpha, since lower
      orders normalize); jax.grad supplies the digamma gradients the
-     reference hand-codes.  Prior: alpha ~ InvGamma(1, scale = default
-     alpha_k), a weak prior centered on the paper defaults (the exact
-     reference prior could not be verified against the empty mount).
+     reference hand-codes.  Prior: alpha ~ InvGamma(1, scale = the
+     motif's ENTRY alphas) — for fresh seeds those are the paper
+     defaults (alpha_0=1, alpha_k=beta*gamma^(k-1)); re-running CGS on
+     an already-refined motif re-centers the prior on its learned
+     alphas, a deliberate resume semantic.  (The exact reference prior
+     could not be verified against the empty mount.)
 
 Burn-in (TPU-native extension, --cgsBurnIn N): with N > 0 the first N
 sweeps are discarded and the final model is the Rao-Blackwellized
@@ -68,10 +71,14 @@ class GibbsResult:
     iterations: int
     ll: float
     q: float
-    seconds: float       # warm execution time (compile/trace time excluded)
+    seconds: float       # warm execution time (compile/trace time excluded);
+                         # in batched group runs: this seed's equal share of
+                         # the group wall clock (see run_gibbs_multi)
     ll_history: list
     alphas: np.ndarray
-    compile_seconds: float = 0.0
+    compile_seconds: float = 0.0  # trace+compile time (0 when cache-hot)
+    group_seconds: float = 0.0    # raw wall-clock of the batched group
+                                  # program this seed ran in (0 = solo run)
 
 
 def _log_alpha_posterior(log_alphas, counts, f_bg, default_alphas):
@@ -635,9 +642,11 @@ def run_gibbs_multi(
     """Batched CGS over a MotifSet; refines every motif in place.
 
     The TPU analogue of the reference driver's OpenMP-over-motifs for
-    --CGS: seeds of equal (W, K) sweep in one program sharing the sequence
-    tensors.  Seed m samples with key fold_in(PRNGKey(params.seed), m), so
-    ``run_gibbs(motif, ..., key=fold_in(base, m))`` reproduces member m
+    --CGS: seeds of equal (W, K) sweep in one program sharing the
+    sequence tensors.  The motif at INPUT position i samples with key
+    fold_in(PRNGKey(params.seed), i) — global, not group-local, indices,
+    so chains stay independent across (W, K) groups — and
+    ``run_gibbs(motifs[i], ..., key=fold_in(base, i))`` reproduces it
     exactly.  Returns a list of GibbsResult aligned with ``motifs``.
     """
     params = params or Params(CGS=True)
@@ -645,20 +654,24 @@ def run_gibbs_multi(
 
     groups: dict = {}
     for i, m in enumerate(motifs):
-        groups.setdefault((m.W, m.K), []).append(i)
+        # f_bg joins the key: the stacked program shares one f_bg across
+        # the group (cf. run_em_multi/evaluate_motifs)
+        groups.setdefault(
+            (m.W, m.K, np.asarray(m.f_bg, np.float64).tobytes()), []
+        ).append(i)
 
     base_key = jax.random.PRNGKey(params.seed)
-    for (W, K), idxs in groups.items():
+    for (W, K, _fbg), idxs in groups.items():
         group = [motifs[i] for i in idxs]
         A = group[0].A
         M = len(group)
         if M == 1:
             # single-member group: the seed-stacked machinery's vmapped
             # stages cost ~1.7x at M=1 (measured); the plain path with the
-            # same fold_in(base, 0) key reproduces member 0 exactly
+            # same global-index key reproduces the stacked member exactly
             results[idxs[0]] = run_gibbs(
                 group[0], bg, sset, params, mesh=mesh,
-                key=jax.random.fold_in(base_key, 0),
+                key=jax.random.fold_in(base_key, idxs[0]),
             )
             continue
         data = prepare_data(sset, bg, K, params.ss)
@@ -676,7 +689,10 @@ def run_gibbs_multi(
         la = jnp.log(jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in group]))
         da = jnp.stack([jnp.asarray(m.alphas, jnp.float32) for m in group])
         f_bg = jnp.asarray(group[0].f_bg, jnp.float32)
-        keys = jnp.stack([jax.random.fold_in(base_key, m) for m in range(M)])
+        # keys fold in the GLOBAL motif index: group-local indices would
+        # give the m-th member of every (W, K) group an identical PRNG
+        # stream, perfectly correlating supposedly independent chains
+        keys = jnp.stack([jax.random.fold_in(base_key, i) for i in idxs])
         if mesh is not None:
             from bammmotif2_tpu.parallel import mesh as mesh_mod
 
@@ -692,10 +708,14 @@ def run_gibbs_multi(
             not params.noZSampling, not params.noQSampling,
             not params.noAlphaOptimization, path, n_iters, burn_in, mesh,
         )
+        args = (v, q, la, keys, data, f_bg, da,
+                jnp.asarray(n_real, jnp.float32))
+        # AOT split so GibbsResult.seconds honors its warm-time contract
+        # (the first call of the lru-cached jitted loop otherwise folds
+        # several seconds of trace+compile into the timing)
+        compiled, compile_seconds = _aot_compile(loop, args, {})
         t0 = time.perf_counter()
-        v, q, la, lls, _noccs, acc = loop(
-            v, q, la, keys, data, f_bg, da, jnp.asarray(n_real, jnp.float32)
-        )
+        v, q, la, lls, _noccs, acc = compiled(*args)
         jax.block_until_ready((v, q, la, lls))
         seconds = time.perf_counter() - t0
 
@@ -713,8 +733,15 @@ def run_gibbs_multi(
                 iterations=n_iters,
                 ll=float(lls_h[-1, gi]) if n_iters else float("nan"),
                 q=float(q[gi]),
-                seconds=seconds,
+                # every member sweeps the same fixed n_iters, so each is
+                # charged an equal share of the ONE group program's wall
+                # clock (summing members then reproduces the group cost,
+                # cf. EMResult.seconds); group_seconds carries the raw
+                # group wall-clock for aggregate math
+                seconds=seconds / M,
                 ll_history=[float(x) for x in lls_h[:, gi]],
                 alphas=np.asarray(jnp.exp(la[gi])),
+                compile_seconds=compile_seconds,
+                group_seconds=seconds,
             )
     return results

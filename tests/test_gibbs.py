@@ -318,3 +318,38 @@ class TestCGSValidation:
             a_flank = float(np.mean(m.alphas[k][flanks]))
             a_core = float(np.mean(m.alphas[k][core]))
             assert a_flank > a_core, (k, a_flank, a_core, m.alphas[k])
+
+
+class TestCrossGroupKeys:
+    def test_global_index_keys_across_groups(self, planted):
+        """Motif i samples with fold_in(base, i) GLOBALLY: group-local
+        indices would give the first member of every (W, K) group an
+        identical PRNG stream, perfectly correlating supposedly
+        independent chains (review regression)."""
+        import jax
+
+        from bammmotif2_tpu.refinement.gibbs import run_gibbs, run_gibbs_multi
+
+        sset, bg = planted
+        params = Params(CGS=True, q=0.5, maxCGSIterations=5, seed=11)
+
+        def mk(s):
+            return seeds_mod.motif_from_pwm(
+                seeds_mod.iupac_to_pwm(s, soft=0.6), K=2,
+                f_bg=sset.base_frequencies(),
+            )
+
+        m8, m6 = mk("TGACTCAG"), mk("TGACTC")   # two (W, K) groups
+        run_gibbs_multi([m8, m6], bg, sset, params)
+
+        base = jax.random.PRNGKey(params.seed)
+        solo6 = mk("TGACTC")
+        run_gibbs(solo6, bg, sset, params, key=jax.random.fold_in(base, 1))
+        for a, b in zip(m6.v, solo6.v):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        # and a group-local key (index 0) must NOT reproduce it
+        solo6b = mk("TGACTC")
+        run_gibbs(solo6b, bg, sset, params, key=jax.random.fold_in(base, 0))
+        assert not all(
+            np.allclose(a, b, atol=1e-6) for a, b in zip(m6.v, solo6b.v)
+        )

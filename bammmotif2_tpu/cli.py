@@ -23,6 +23,7 @@ import time
 import numpy as np
 
 from bammmotif2_tpu.evaluation.fdr import evaluate_motifs
+from bammmotif2_tpu.evaluation.prcurve import average_recall
 from bammmotif2_tpu.generator import seqgen
 from bammmotif2_tpu.models.background import BackgroundModel
 from bammmotif2_tpu.models.motifset import load_motifs
@@ -163,8 +164,23 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
         if params.jsonl
         else None
     )
+    try:
+        return _pipeline_stages(
+            params, mesh, metrics, alphabet, basename, t_start, out
+        )
+    finally:
+        # exception-safe: a failing stage must not leak the handle or
+        # leave the .metrics.jsonl without a terminal event
+        metrics.close()
+
+
+def _pipeline_stages(params, mesh, metrics, alphabet, basename,
+                     t_start, out) -> dict:
     metrics.event("run_start", params={
-        k: v for k, v in dataclasses.asdict(params).items() if v not in (None, False)
+        # identity checks, not ==: 0/0.0 compare equal to False and an
+        # explicitly-set falsy override (--seed 0, -q 0) must still log
+        k: v for k, v in dataclasses.asdict(params).items()
+        if v is not None and v is not False
     })
 
     pos_set = read_fasta(params.posSequenceFile, alphabet)
@@ -238,9 +254,12 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
                     f"EM {m.name}: {r.iterations} iters, ll={r.ll:.2f}, "
                     f"q={r.q:.3f}, {r.windows_per_sec:,.0f} windows/s"
                 )
-    elif params.CGS:
-        # all seeds of a (W, K) group sweep in one batched device program,
-        # data-sharded over the mesh (the OpenMP-over-motifs analogue)
+    if params.CGS:
+        # an INDEPENDENT `if`, not elif: the reference driver runs EM and
+        # CGS as separate stages (SURVEY.md 3.1 "EM and/or CGS"), so
+        # --EM --CGS Gibbs-refines the EM-refined models; all seeds of a
+        # (W, K) group sweep in one batched device program, data-sharded
+        # over the mesh (the OpenMP-over-motifs analogue)
         out["cgs_results"] = run_gibbs_multi(motifs, bg, pos_set, params, mesh=mesh)
         for m, r in zip(motifs, out["cgs_results"]):
             metrics.event(
@@ -328,8 +347,6 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
                 np.savetxt(pv_path, fdr_res.pos_pvalues, fmt="%.4e")
                 out["files"].append(pv_path)
             out.setdefault("fdr_results", []).append(fdr_res)
-            from bammmotif2_tpu.evaluation.prcurve import average_recall
-
             metrics.event(
                 "fdr_done", motif=m.name,
                 avrec_zoops=round(average_recall(fdr_res.zoops), 4),
@@ -338,7 +355,6 @@ def _run_pipeline(params: Params, mesh=None) -> dict:
 
     out["runtime_seconds"] = time.perf_counter() - t_start
     metrics.event("run_done", runtime_seconds=round(out["runtime_seconds"], 3))
-    metrics.close()
     if params.verbose:
         print(f"Runtime: {out['runtime_seconds']:.2f}s")
     return out
@@ -361,6 +377,28 @@ def _enable_compilation_cache() -> None:
         pass  # older jax without the knobs
 
 
+def _estimate_n_seeds(params: Params) -> int:
+    """Cheap seed-count estimate for the mesh's seed-axis width.
+
+    Sizing the axis by --maxPWM alone either over-pads (maxPWM larger
+    than the file) — replicated model rows and a starved data axis — or
+    never engages seed parallelism (no --maxPWM with a multi-motif PWM
+    file).  A textual peek costs nothing next to a TPU compile.
+    """
+    n = 1
+    try:
+        if params.PWMFile:
+            with open(params.PWMFile) as fh:
+                n = sum(1 for line in fh if line.startswith("MOTIF"))
+        elif params.pattern:
+            n = len([p for p in params.pattern.split(";") if p.strip()])
+    except OSError:
+        pass  # unreadable file errors meaningfully later, in load_motifs
+    if params.maxPWM:
+        n = min(n, params.maxPWM)
+    return max(n, 1)
+
+
 def main(argv=None) -> int:
     params = params_from_args(sys.argv[1:] if argv is None else argv)
     _enable_compilation_cache()
@@ -369,7 +407,7 @@ def main(argv=None) -> int:
         from bammmotif2_tpu.parallel import distributed
 
         distributed.initialize()
-        mesh = distributed.auto_mesh(n_seeds=params.maxPWM or 1)
+        mesh = distributed.auto_mesh(n_seeds=_estimate_n_seeds(params))
         if params.verbose and mesh is not None:
             import jax
 

@@ -278,3 +278,33 @@ class TestPipeline:
             Params(BaMMFile=str(out / "t_motif_1.ihbcp")), np.full(4, 0.25)
         )
         np.testing.assert_allclose(ms2[0].f_bg, np.full(4, 0.25))
+
+
+class TestEMThenCGS:
+    def test_em_and_cgs_both_run(self, workdir, tmp_path):
+        """--EM --CGS runs BOTH engines (independent ifs, SURVEY 3.1):
+        CGS refines the EM-refined models instead of being silently
+        dropped (review regression)."""
+        from bammmotif2_tpu.cli import run_pipeline
+
+        _d, fasta, meme = workdir
+        out = run_pipeline(params_from_args([
+            str(tmp_path / "o"), fasta, "--PWMFile", meme,
+            "--EM", "--CGS", "--maxEMIterations", "10",
+            "--maxCGSIterations", "5", "-q", "0.5", "--no-pallas",
+        ]))
+        assert "em_results" in out and "cgs_results" in out
+        assert len(out["cgs_results"]) == len(out["em_results"]) == 1
+
+    def test_estimate_n_seeds(self, workdir):
+        from bammmotif2_tpu.cli import _estimate_n_seeds
+
+        _d, _fasta, meme = workdir
+        p = params_from_args(["o", "p.fa", "--PWMFile", meme])
+        assert _estimate_n_seeds(p) == 1  # one MOTIF record
+        p2 = params_from_args(["o", "p.fa", "--pattern", "TGASTCA;ACGT"])
+        assert _estimate_n_seeds(p2) == 2
+        p3 = params_from_args(
+            ["o", "p.fa", "--pattern", "A;C;G;T", "--maxPWM", "2"]
+        )
+        assert _estimate_n_seeds(p3) == 2

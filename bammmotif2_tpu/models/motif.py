@@ -145,6 +145,11 @@ class Motif:
             self.f_bg.copy(),
             self.alphabet,
             self.name,
+            counts=(
+                [c.copy() for c in self.counts]
+                if self.counts is not None
+                else None
+            ),
         )
 
     @staticmethod
@@ -224,7 +229,21 @@ class Motif:
         alphabet: Alphabet | None = None,
     ) -> "Motif":
         """Init from a saved BaMM (.ihbcp) — ``Motif::initFromBaMM``; a
-        saved model re-loaded this way is the resume/checkpoint path."""
+        saved model re-loaded this way is the resume/checkpoint path.
+        When no explicit ``alphabet`` is passed, the '# alphabet =' header
+        that Motif.write emits is honored (extended-alphabet round-trips
+        would otherwise fail against the STANDARD default)."""
+        if alphabet is None:
+            with open(path) as fh:
+                for line in fh:
+                    s = line.strip()
+                    if not s.startswith("#"):
+                        break
+                    body = s.lstrip("#").strip()
+                    if "=" in body:
+                        key, val = (t.strip() for t in body.split("=", 1))
+                        if key.lower() == "alphabet":
+                            alphabet = Alphabet.from_type(val)
         alphabet = alphabet or Alphabet.standard()
         A = alphabet.size
         blocks = _read_position_blocks(path)

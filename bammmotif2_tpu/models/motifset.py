@@ -71,9 +71,20 @@ def load_motifs(params: Params, f_bg: np.ndarray, alphabet: Alphabet | None = No
         )
 
     if getattr(params, "pattern", None):
-        patterns = [p for p in params.pattern.split(";") if p]
+        patterns = [p for p in params.pattern.split(";") if p.strip()]
         if params.maxPWM is not None:
             patterns = patterns[: params.maxPWM]
+        if not patterns:
+            raise ValueError(
+                f"--pattern {params.pattern!r}: no patterns found"
+            )
+        if alphabet is not None and alphabet.size != 4:
+            raise ValueError(
+                "--pattern uses IUPAC DNA codes and is defined for the "
+                "STANDARD alphabet; extended-alphabet letters collide "
+                "with IUPAC ambiguity codes (e.g. METHYLC's M) — seed "
+                "via --PWMFile or --bindingSiteFile instead"
+            )
         for i, pat in enumerate(patterns):
             pwm = seeds_mod.iupac_to_pwm(pat)
             alphas = _alphas_from_params(params, K, pwm.shape[0])

@@ -75,13 +75,17 @@ def read_meme(path: str, alphabet: Alphabet | None = None) -> list:
                 name = parts[1] if len(parts) > 1 else None
                 attrs = {}
             elif s.lower().startswith("letter-probability matrix"):
+                flush()  # a second header without MOTIF still keeps block 1
                 attrs = dict(re.findall(r"(\w+)\s*=\s*([-\d.eE+]+)", s))
                 rows = []
             elif rows is not None:
                 vals = s.split()
                 if vals and all(_is_float(v) for v in vals):
                     rows.append([float(v) for v in vals])
-                else:
+                elif rows:
+                    # only a non-numeric line AFTER rows ends the block —
+                    # a blank line between the header and the matrix must
+                    # not silently drop the motif
                     flush()
     flush()
     if not seeds:
@@ -98,11 +102,18 @@ def _is_float(s: str) -> bool:
 
 
 def iupac_to_pwm(pattern: str, soft: float = 0.7) -> np.ndarray:
-    """IUPAC pattern -> PWM: member bases share ``soft`` probability mass,
-    the rest is spread over non-members (single-base letters get soft=0.7,
-    i.e. A -> [0.7, 0.1, 0.1, 0.1]).  The exact softening of the reference
-    toolchain (PEnG) could not be verified against the empty mount; this is
-    the conventional seed softening and is flag-tunable upstream.
+    """IUPAC pattern -> PWM as a soft/uniform mixture:
+
+        p = soft * uniform(members) + (1 - soft) * uniform(all bases)
+
+    so a single-base letter gets soft + (1-soft)/4 (A at soft=0.7 ->
+    [0.775, 0.075, 0.075, 0.075]) and member bases ALWAYS outweigh
+    non-members for every code cardinality.  (The previous
+    share-soft-among-members form inverted 3-member codes: B/D/H/V gave
+    the explicitly EXCLUDED base the highest probability whenever
+    soft < 3/4.)  The exact softening of the reference toolchain (PEnG)
+    could not be verified against the empty mount; this is a
+    conventional, order-correct seed softening.
     """
     letters = "ACGT"
     W = len(pattern)
@@ -112,12 +123,9 @@ def iupac_to_pwm(pattern: str, soft: float = 0.7) -> np.ndarray:
         if members is None:
             raise ValueError(f"invalid IUPAC letter {ch!r} in pattern {pattern!r}")
         m = len(members)
-        if m == 4:
-            pwm[j] = 0.25
-            continue
-        pwm[j] = (1.0 - soft) / (4 - m)
+        pwm[j] = (1.0 - soft) / 4.0
         for b in members:
-            pwm[j, letters.index(b)] = soft / m
+            pwm[j, letters.index(b)] += soft / m
     return pwm
 
 
@@ -182,11 +190,12 @@ def motif_from_binding_sites(
     if any(len(s) != W for s in sites):
         raise ValueError(f"{path}: binding sites have unequal lengths")
     sset = SequenceSet.from_sequences(sites, alphabet=alphabet)
-    cidx = np.asarray(encode.combined_kmer_index(jnp.asarray(sset.codes), A, K))  # [N, W]
+    # pure-host counting (combined_kmer_index_np): the device encoder
+    # would pay an upload + dispatch + fetch for a numpy bincount
+    cidx = encode.combined_kmer_index_np(sset.codes, A, K)  # [N, W]
     R = encode.num_rows(A, K)
     C = np.zeros((R + 1, W))
-    for j in range(W):
-        C[:, j] = np.bincount(cidx[:, j], minlength=R + 1)
+    np.add.at(C, (cidx, np.broadcast_to(np.arange(W), cidx.shape)), 1.0)
     if alphas is None:
         alphas = Motif.default_alphas(K, W)
     from bammmotif2_tpu.models.motif import counts_from_combined

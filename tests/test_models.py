@@ -153,11 +153,29 @@ class TestSeeds:
         assert abs(m.v[0][0, 0] - 0.7) < 0.01
 
     def test_iupac(self):
+        # mixture convention: p = soft*uniform(members) + (1-soft)/4
         pwm = seeds_mod.iupac_to_pwm("ARN")
         np.testing.assert_allclose(pwm.sum(axis=1), 1.0)
-        np.testing.assert_allclose(pwm[0], [0.7, 0.1, 0.1, 0.1])
-        np.testing.assert_allclose(pwm[1], [0.35, 0.15, 0.35, 0.15])
+        np.testing.assert_allclose(pwm[0], [0.775, 0.075, 0.075, 0.075])
+        np.testing.assert_allclose(pwm[1], [0.425, 0.075, 0.425, 0.075])
         np.testing.assert_allclose(pwm[2], [0.25] * 4)
+
+    def test_iupac_members_always_outweigh_nonmembers(self):
+        """Every IUPAC code, every softness: member bases must beat
+        non-members (the previous share-soft-among-members form INVERTED
+        3-member codes — B/D/H/V gave the explicitly excluded base the
+        highest probability whenever soft < 3/4)."""
+        letters = "ACGT"
+        for soft in (0.5, 0.6, 0.7, 0.9):
+            for code, members in seeds_mod.IUPAC.items():
+                if len(members) == 4:
+                    continue
+                row = seeds_mod.iupac_to_pwm(code, soft=soft)[0]
+                member_min = min(row[letters.index(b)] for b in members)
+                nonmember_max = max(
+                    row[i] for i, b in enumerate(letters) if b not in members
+                )
+                assert member_min > nonmember_max, (code, soft, row)
 
     def test_binding_sites(self, tmp_path):
         p = tmp_path / "sites.txt"
@@ -226,3 +244,51 @@ class TestGoldenHarnessHelpers:
         c = tmp_path / "c.occurrence"
         c.write_text(hdr + "s1\t80\t-\t5..12\tTGACTCAG\t12.5\t1e-5\t1e-2\n")
         assert gh.compare_occurrences(str(a), str(c)) != []
+
+
+class TestSeedParsingRobustness:
+    def test_meme_blank_line_after_header(self, tmp_path):
+        """A blank line between 'letter-probability matrix:' and the rows
+        must not silently drop the motif (review regression)."""
+        p = tmp_path / "m.meme"
+        p.write_text(
+            "MEME version 4\n\nMOTIF m1\n"
+            "letter-probability matrix: alength= 4 w= 2 nsites= 10\n"
+            "\n"
+            "0.7 0.1 0.1 0.1\n0.1 0.7 0.1 0.1\n\n"
+            "MOTIF m2\n"
+            "letter-probability matrix: alength= 4 w= 1 nsites= 5\n"
+            "0.25 0.25 0.25 0.25\n"
+        )
+        seeds = seeds_mod.read_meme(str(p))
+        assert [s.name for s in seeds] == ["m1", "m2"]
+        assert seeds[0].pwm.shape == (2, 4)
+
+    def test_methylc_roundtrip_reads_alphabet_header(self, tmp_path):
+        """Motif.read honors the '# alphabet =' header Motif.write emits
+        (extended-alphabet checkpoints round-trip without an explicit
+        alphabet argument)."""
+        from bammmotif2_tpu.models.motif import Motif
+        from bammmotif2_tpu.utils.alphabet import Alphabet
+
+        alphabet = Alphabet.from_type("METHYLC")
+        pwm = np.full((4, 5), 0.1)
+        pwm[:, 0] = 0.6
+        m = seeds_mod.motif_from_pwm(
+            pwm / pwm.sum(1, keepdims=True), K=1,
+            f_bg=np.full(5, 0.2), alphabet=alphabet, name="mm",
+        )
+        paths = m.write(str(tmp_path), "mm")
+        m2 = Motif.read(paths[0])
+        assert m2.A == 5 and m2.W == 4 and m2.K == 1
+        for a, b in zip(m.v, m2.v):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_empty_pattern_raises(self):
+        from bammmotif2_tpu.models.motifset import load_motifs
+        from bammmotif2_tpu.utils.config import Params
+
+        with pytest.raises(ValueError, match="no patterns"):
+            load_motifs(
+                Params(pattern=";"), np.full(4, 0.25), None
+            )
